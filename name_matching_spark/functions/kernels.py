@@ -1,0 +1,412 @@
+"""Numpy/pandas batch kernels for the similarity & parsing functions.
+
+These are the Arrow-vectorized equivalents of the scalar oracle in
+``name_matching_spark.core`` — one call processes a whole record batch with
+numpy array ops (no per-row Python in the similarity hot path). Property
+tests assert bit-equality with the scalar oracle.
+
+Design notes for 100 TB scale: every kernel is O(batch) numpy work with
+bounded per-batch memory; the DL DP kernel chunks itself so the
+(batch x L1 x L2) DP tensor stays under a fixed cell budget regardless of
+Arrow batch size.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+__all__ = [
+    "batch_jaro",
+    "batch_jaro_winkler",
+    "batch_dl_distance",
+    "batch_dl_similarity",
+    "batch_monge_elkan",
+    "batch_soundex",
+    "batch_standardize",
+    "batch_parse_middle_last",
+]
+
+# Pad sentinels: beyond any valid codepoint (max 0x10FFFF) and mutually
+# unequal, so padded cells can never produce a character match.
+_PAD_A = np.uint32(0xFFFFFFFF)
+_PAD_B = np.uint32(0xFFFFFFFE)
+
+
+def _encode(strs: np.ndarray, pad: np.uint32) -> tuple[np.ndarray, np.ndarray]:
+    """Encode an object array of strings into a padded (n, maxlen) uint32
+    codepoint matrix + a length vector. One C-level pass via utf-32."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    out = np.full((n, max(maxlen, 1)), pad, dtype=np.uint32)
+    total = int(lens.sum())
+    if total:
+        joined = "".join(strs)
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(total) - np.repeat(starts, lens)
+        out[rows, cols] = codes
+    return out, lens
+
+
+def _as_str_array(values) -> np.ndarray:
+    """None/NaN -> "" and everything to str, as an object ndarray."""
+    arr = np.asarray(values, dtype=object)
+    return np.array(
+        ["" if v is None or (isinstance(v, float) and np.isnan(v)) else str(v) for v in arr],
+        dtype=object,
+    )
+
+
+def batch_jaro(s1, s2) -> np.ndarray:
+    """Vectorized Jaro similarity over two equal-length string collections.
+
+    Batch-parallel form of ``core.similarity.jaro_similarity``
+    (reference semantics: ``src/matcher.py:33-142``): position loops run over
+    the padded max length, every op vectorized across the batch.
+    """
+    a = _as_str_array(s1)
+    b = _as_str_array(s2)
+    A, len1 = _encode(a, _PAD_A)
+    B, len2 = _encode(b, _PAD_B)
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    L1, L2 = A.shape[1], B.shape[1]
+
+    window = np.maximum(np.maximum(len1, len2) // 2 - 1, 0)
+    matched1 = np.zeros((n, L1), dtype=bool)
+    matched2 = np.zeros((n, L2), dtype=bool)
+    m = np.zeros(n, dtype=np.int64)
+
+    for i in range(L1):
+        ai = A[:, i]
+        lo = np.maximum(0, i - window)
+        hi = np.minimum(i + window + 1, len2)
+        found = np.zeros(n, dtype=bool)
+        for j in range(max(0, int((i - window.max()))), L2):
+            if j >= int((i + window.max()) + 1):
+                break
+            cand = (~found) & (j >= lo) & (j < hi) & (~matched2[:, j]) & (B[:, j] == ai)
+            matched2[:, j] |= cand
+            found |= cand
+        matched1[:, i] = found
+        m += found
+
+    # transpositions: compare the k-th matched char of s1 with the k-th
+    # matched char of s2
+    r1 = np.cumsum(matched1, axis=1)
+    r2 = np.cumsum(matched2, axis=1)
+    t = np.zeros(n, dtype=np.int64)
+    max_m = int(m.max()) if n else 0
+    A64 = A.astype(np.int64) + 1
+    B64 = B.astype(np.int64) + 1
+    for k in range(1, max_m + 1):
+        a_char = np.where(matched1 & (r1 == k), A64, 0).sum(axis=1)
+        b_char = np.where(matched2 & (r2 == k), B64, 0).sum(axis=1)
+        t += ((a_char != b_char) & (k <= m)).astype(np.int64)
+    t //= 2
+
+    both_empty = (len1 == 0) & (len2 == 0)
+    safe1 = np.maximum(len1, 1)
+    safe2 = np.maximum(len2, 1)
+    safe_m = np.maximum(m, 1)
+    jaro = (m / safe1 + m / safe2 + (m - t) / safe_m) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+    jaro = np.where(both_empty, 1.0, jaro)
+    return jaro
+
+
+def batch_jaro_winkler(s1, s2, prefix_weight: float = 0.1) -> np.ndarray:
+    """Vectorized reference Jaro-Winkler (NO 0.7 boost gate, prefix cap 4,
+    both-empty -> 1.0, one-empty -> 0.0; ``src/matcher.py:158-187``)."""
+    a = _as_str_array(s1)
+    b = _as_str_array(s2)
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    A, len1 = _encode(a, _PAD_A)
+    B, len2 = _encode(b, _PAD_B)
+
+    jaro = batch_jaro(a, b)
+
+    plen = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    for i in range(min(4, A.shape[1], B.shape[1])):
+        eq = alive & (A[:, i] == B[:, i])
+        plen += eq
+        alive &= eq
+    jw = jaro + plen * prefix_weight * (1.0 - jaro)
+
+    both_empty = (len1 == 0) & (len2 == 0)
+    one_empty = ((len1 == 0) | (len2 == 0)) & ~both_empty
+    jw = np.where(one_empty, 0.0, jw)
+    jw = np.where(both_empty, 1.0, jw)
+    return jw
+
+
+# Cap on DP cells per chunk: n_chunk * (L1+2) * (L2+2) <= _DL_CELL_BUDGET.
+_DL_CELL_BUDGET = 16_000_000
+
+
+def batch_dl_distance(s1, s2) -> np.ndarray:
+    """Vectorized FULL Damerau-Levenshtein distance (adjacent transpositions,
+    jellyfish-compatible — the reference's primary path,
+    ``src/matcher.py:245``, pinned by ``tests/test_matcher.py:61``).
+
+    DP sweeps run over (L1 x L2) positions with every cell op vectorized
+    across the batch; self-chunks to bound the DP tensor.
+    """
+    a = _as_str_array(s1)
+    b = _as_str_array(s2)
+    n = len(a)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    max_l1 = max((len(s) for s in a), default=0)
+    max_l2 = max((len(s) for s in b), default=0)
+    cells = (max_l1 + 2) * (max_l2 + 2)
+    chunk = max(1, _DL_CELL_BUDGET // max(cells, 1))
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        out[lo:hi] = _dl_distance_chunk(a[lo:hi], b[lo:hi])
+    return out
+
+
+def _dl_distance_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    A, len1 = _encode(a, _PAD_A)
+    B, len2 = _encode(b, _PAD_B)
+    n = len(a)
+    L1, L2 = A.shape[1], B.shape[1]
+    # Trim to the true max lengths (padding column exists even for all-empty)
+    eff_L1 = int(len1.max())
+    eff_L2 = int(len2.max())
+
+    maxdist = (len1 + len2).astype(np.int32)
+    d = np.zeros((n, eff_L1 + 2, eff_L2 + 2), dtype=np.int32)
+    d[:, 0, 0] = maxdist
+    for i in range(eff_L1 + 1):
+        d[:, i + 1, 0] = maxdist
+        d[:, i + 1, 1] = i
+    for j in range(eff_L2 + 1):
+        d[:, 0, j + 1] = maxdist
+        d[:, 1, j + 1] = j
+
+    rows = np.arange(n)
+    # last_row_for_col[:, j] == textbook da[b[j]]: last 1-based row i' (over
+    # completed rows) where a[i'] == b[j]
+    last_row_for_col = np.zeros((n, eff_L2), dtype=np.int32) if eff_L2 else np.zeros((n, 0), np.int32)
+
+    for i in range(1, eff_L1 + 1):
+        ai = A[:, i - 1]
+        db = np.zeros(n, dtype=np.int32)  # textbook db: last col j'<j with b[j']==a[i]
+        for j in range(1, eff_L2 + 1):
+            bj = B[:, j - 1]
+            k = last_row_for_col[:, j - 1]
+            l = db
+            eq = ai == bj
+            cost = (~eq).astype(np.int32)
+            best = d[:, i, j] + cost
+            np.minimum(best, d[:, i + 1, j] + 1, out=best)
+            np.minimum(best, d[:, i, j + 1] + 1, out=best)
+            trans = d[rows, k, l] + (i - k - 1) + 1 + (j - l - 1)
+            np.minimum(best, trans, out=best)
+            d[:, i + 1, j + 1] = best
+            db = np.where(eq, np.int32(j), db)
+        if eff_L2:
+            last_row_for_col = np.where(B[:, :eff_L2] == ai[:, None], np.int32(i), last_row_for_col)
+
+    return d[rows, len1 + 1, len2 + 1].astype(np.int64)
+
+
+def batch_dl_similarity(s1, s2) -> np.ndarray:
+    """``1 - dist/max(len)`` with reference empty rules
+    (``src/matcher.py:225-267``)."""
+    a = _as_str_array(s1)
+    b = _as_str_array(s2)
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    dist = batch_dl_distance(a, b)
+    len1 = np.fromiter((len(s) for s in a), dtype=np.int64, count=n)
+    len2 = np.fromiter((len(s) for s in b), dtype=np.int64, count=n)
+    both_empty = (len1 == 0) & (len2 == 0)
+    one_empty = ((len1 == 0) | (len2 == 0)) & ~both_empty
+    max_len = np.maximum(np.maximum(len1, len2), 1)
+    sim = 1.0 - dist / max_len
+    sim = np.where(one_empty, 0.0, sim)
+    sim = np.where(both_empty, 1.0, sim)
+    return sim
+
+
+def batch_monge_elkan(tokens1, tokens2, kernel) -> np.ndarray:
+    """Vectorized asymmetric Monge-Elkan (``src/matcher.py:270-319``).
+
+    ``tokens1``/``tokens2``: sequences of token lists (one per row).
+    ``kernel``: a batch similarity kernel (batch_jaro_winkler /
+    batch_dl_similarity). All token-pair similarities for the whole batch are
+    computed in ONE kernel call, then reduced with segment max/mean.
+    """
+    n = len(tokens1)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+
+    flat_left: list[str] = []
+    flat_right: list[str] = []
+    row_ids: list[int] = []
+    t1_counts = np.zeros(n, dtype=np.int64)  # non-empty tokens1 per row
+    t2_counts = np.zeros(n, dtype=np.int64)
+    for r in range(n):
+        t1 = [t for t in (tokens1[r] or []) if t]
+        t2 = [t for t in (tokens2[r] or []) if t]
+        # reference: empty tokens1 LIST or empty tokens2 LIST -> 0.0; a
+        # non-empty tokens2 list whose tokens are all "" behaves like max=0
+        if not tokens1[r] or not tokens2[r] or not t1:
+            continue
+        t1_counts[r] = len(t1)
+        t2_counts[r] = len(t2)
+        for x in t1:
+            for y in t2:
+                flat_left.append(x)
+                flat_right.append(y)
+                row_ids.append(r)
+
+    if not flat_left:
+        return out
+
+    sims = kernel(np.array(flat_left, dtype=object), np.array(flat_right, dtype=object))
+
+    # segment reduce: max over tokens2 within each (row, token1) group, then
+    # mean over token1 groups within each row
+    active = t1_counts > 0
+    pair_counts = t1_counts * t2_counts  # pairs per active row (t2 may be 0)
+    has_pairs = active & (t2_counts > 0)
+    # group starts for (row, t1) segments, rows in emission order
+    seg_sizes = np.repeat(t2_counts[has_pairs], t1_counts[has_pairs])
+    seg_starts = np.zeros(len(seg_sizes), dtype=np.int64)
+    if len(seg_sizes) > 1:
+        np.cumsum(seg_sizes[:-1], out=seg_starts[1:])
+    max_per_t1 = np.maximum.reduceat(sims, seg_starts) if len(seg_starts) else np.zeros(0)
+
+    # mean over each row's t1 groups
+    row_group_counts = t1_counts[has_pairs]
+    row_starts = np.zeros(len(row_group_counts), dtype=np.int64)
+    if len(row_group_counts) > 1:
+        np.cumsum(row_group_counts[:-1], out=row_starts[1:])
+    sums = np.add.reduceat(max_per_t1, row_starts) if len(row_starts) else np.zeros(0)
+    means = sums / row_group_counts
+
+    out[np.flatnonzero(has_pairs)] = means
+    # rows active but with zero non-empty tokens2: every max is 0 -> mean 0
+    return out
+
+
+_SOUNDEX_TABLE = str.maketrans("BFPVCGJKQSXZDTLMNR", "111122222222334556", "AEIOUHWY")
+
+
+def batch_soundex(s: pd.Series) -> pd.Series:
+    """Vectorized reference soundex (``src/matcher.py:322-431``; see
+    ``core.similarity.soundex`` for the semantics contract)."""
+    s = s.fillna("").astype(str)
+    up = s.str.upper()
+    first_raw = up.str.slice(0, 1)
+    alpha = up.str.replace(r"[^A-Z]", "", regex=True)
+    first = alpha.str.slice(0, 1)
+    digits = alpha.str.slice(1).str.translate(_SOUNDEX_TABLE)
+    collapsed = digits.str.replace(r"(.)\1+", r"\1", regex=True)
+    code = (first + collapsed + "000").str.slice(0, 4)
+
+    first_raw_is_alpha = first_raw.between("A", "Z") & (first_raw != "")
+    result = np.select(
+        [
+            s == "",
+            (alpha == "") & first_raw_is_alpha,
+            alpha == "",
+        ],
+        [
+            "0000",
+            (first_raw + "000").str.slice(0, 4),
+            "0000",
+        ],
+        default=code,
+    )
+    return pd.Series(result, index=s.index, dtype=object)
+
+
+@lru_cache(maxsize=1)
+def _combining_mark_regex() -> re.Pattern:
+    """Character class of every combining codepoint (used for the NFD accent
+    fold). Computed once per process (~0.3 s) and cached."""
+    import unicodedata
+
+    parts = []
+    start = prev = None
+    for cp in range(sys.maxunicode + 1):
+        if unicodedata.combining(chr(cp)):
+            if start is None:
+                start = cp
+            prev = cp
+        elif start is not None:
+            parts.append((start, prev))
+            start = None
+    if start is not None:
+        parts.append((start, prev))
+    cls = "".join(
+        re.escape(chr(a)) if a == b else re.escape(chr(a)) + "-" + re.escape(chr(b))
+        for a, b in parts
+    )
+    return re.compile("[" + cls + "]")
+
+
+def batch_standardize(s: pd.Series) -> pd.Series:
+    """Vectorized ``standardize_name`` (``src/standardizer.py:13-44``):
+    NFKC -> lower -> collapse ws + strip -> drop [^\\w\\s'-] -> NFD fold.
+    NOTE: no trailing re-strip after special-char removal (reference order).
+    """
+    s = s.fillna("").astype(str)
+    out = s.str.normalize("NFKC").str.lower()
+    out = out.str.replace(r"\s+", " ", regex=True).str.strip()
+    out = out.str.replace(r"[^\w\s'-]", "", regex=True)
+    out = out.str.normalize("NFD").str.replace(_combining_mark_regex(), "", regex=True)
+    return out
+
+
+# Compound surname prefixes in reference check order (``src/parser.py:70``);
+# whole-token semantics enforced by the lookarounds, multi-space tolerated.
+_COMPOUND_GLUE_RE = re.compile(
+    r"(?i)(?<!\S)(?:dela|de\s+la|del|de\s+los|de\s+las|san|santa|sto|sta)(?=\s)\s+\S+"
+)
+
+
+def _glue_compound(match: re.Match) -> str:
+    return "\x00".join(match.group(0).split())
+
+
+def batch_parse_middle_last(first: pd.Series, middle_last: pd.Series) -> pd.DataFrame:
+    """Vectorized ``parse_name(first, middle_name_last_name)``
+    (``src/parser.py:11-97``): glue compound surname prefixes left-to-right,
+    then last component -> last_name, remainder -> middle_name.
+
+    Returns a DataFrame with columns first_name / middle_name / last_name.
+    """
+    first = first.fillna("").astype(str).str.strip()
+    mnl = middle_last.fillna("").astype(str)
+
+    glued = mnl.str.replace(_COMPOUND_GLUE_RE, _glue_compound, regex=True)
+    norm = glued.str.replace(r"\s+", " ", regex=True).str.strip()
+    rp = norm.str.rpartition(" ")
+    middle = rp[0].str.replace("\x00", " ", regex=False)
+    last = rp[2].str.replace("\x00", " ", regex=False)
+
+    return pd.DataFrame(
+        {"first_name": first, "middle_name": middle, "last_name": last},
+        index=first.index,
+    )
