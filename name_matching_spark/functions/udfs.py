@@ -1,0 +1,166 @@
+"""Pandas UDF wrappers over the batch kernels — the engine's UDF surface.
+
+Every UDF here is Arrow-vectorized (scalar pandas_udf over Series/DataFrame
+batches); there is deliberately NO row-at-a-time ``F.udf`` anywhere in this
+package (mandated by the target contract and SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from name_matching_spark.functions import kernels as K
+
+__all__ = [
+    "jaro_udf",
+    "jaro_winkler_udf",
+    "dl_similarity_udf",
+    "soundex_udf",
+    "standardize_udf",
+    "parse_name_udf",
+    "make_component_scores_udf",
+    "COMPONENT_SCORES_SCHEMA",
+]
+
+
+@pandas_udf(DoubleType())
+def jaro_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(K.batch_jaro(s1.to_numpy(object), s2.to_numpy(object)), index=s1.index)
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        K.batch_jaro_winkler(s1.to_numpy(object), s2.to_numpy(object)), index=s1.index
+    )
+
+
+@pandas_udf(DoubleType())
+def dl_similarity_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        K.batch_dl_similarity(s1.to_numpy(object), s2.to_numpy(object)), index=s1.index
+    )
+
+
+@pandas_udf(StringType())
+def soundex_udf(s: pd.Series) -> pd.Series:
+    return K.batch_soundex(s)
+
+
+@pandas_udf(StringType())
+def standardize_udf(s: pd.Series) -> pd.Series:
+    return K.batch_standardize(s)
+
+
+_PARSE_SCHEMA = StructType(
+    [
+        StructField("first_name", StringType()),
+        StructField("middle_name", StringType()),
+        StructField("last_name", StringType()),
+    ]
+)
+
+
+@pandas_udf(_PARSE_SCHEMA)
+def parse_name_udf(first: pd.Series, middle_last: pd.Series) -> pd.DataFrame:
+    """(first_name, middle_name_last_name) -> parsed component struct
+    (``src/parser.py:11-97`` semantics, vectorized)."""
+    return K.batch_parse_middle_last(first, middle_last)
+
+
+COMPONENT_SCORES_SCHEMA = StructType(
+    [
+        StructField("first_name", DoubleType()),
+        StructField("middle_name", DoubleType()),
+        StructField("last_name", DoubleType()),
+        StructField("full_name_sorted", DoubleType()),
+        StructField("monge_elkan_dl", DoubleType()),
+        StructField("monge_elkan_jw", DoubleType()),
+        StructField("geography", DoubleType()),
+    ]
+)
+
+
+def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_count: int = 0):
+    """Build the FUSED pairwise scoring UDF.
+
+    One Arrow round trip computes every component score for a batch of
+    candidate pairs (the reference pays a Python call per component per pair:
+    ``src/matcher.py:520-572`` + ``src/name_matcher.py:183-221``).
+
+    Inputs (two struct columns, one per side) must carry STANDARDIZED name
+    parts plus, per configured geo field, standardized geo values:
+    ``first_std, middle_std, last_std, full_std, sorted_full,
+    geo0..geo{n-1}``.
+
+    ``base_similarity``: "jaro_winkler" (default) or "damerau_levenshtein" —
+    the pluggable base-component similarity slot
+    (``src/name_matcher.py:73,97``). ``full_name_sorted`` is ALWAYS
+    token-sort JW regardless (``src/matcher.py:551-569``), and both
+    Monge-Elkan variants are always emitted (``name_matcher.py:183-196``).
+
+    Geography is the mean of per-field JW over the standardized geo values
+    (``name_matcher.py:211-221``); NaN when no geo fields are configured (the
+    caller then leaves geography out of the blend, reproducing the
+    "additional field absent" semantics).
+    """
+    if base_similarity == "jaro_winkler":
+        base_kernel = K.batch_jaro_winkler
+    elif base_similarity == "damerau_levenshtein":
+        base_kernel = K.batch_dl_similarity
+    else:
+        raise ValueError(f"unknown base_similarity: {base_similarity}")
+
+    @pandas_udf(COMPONENT_SCORES_SCHEMA)
+    def component_scores(side1: pd.DataFrame, side2: pd.DataFrame) -> pd.DataFrame:
+        n = len(side1)
+        out = {}
+        for comp in ("first_std", "middle_std", "last_std"):
+            out[comp] = base_kernel(
+                side1[comp].to_numpy(object), side2[comp].to_numpy(object)
+            )
+        out["full_name_sorted"] = K.batch_jaro_winkler(
+            side1["sorted_full"].to_numpy(object), side2["sorted_full"].to_numpy(object)
+        )
+
+        # Monge-Elkan over whitespace tokens of the standardized full names.
+        # Reference gates on non-empty token lists (name_matcher.py:183-196);
+        # batch_monge_elkan returns 0.0 for those rows already.
+        tokens1 = [s.split() if s else [] for s in side1["full_std"].fillna("")]
+        tokens2 = [s.split() if s else [] for s in side2["full_std"].fillna("")]
+        out["monge_elkan_dl"] = K.batch_monge_elkan(tokens1, tokens2, K.batch_dl_similarity)
+        out["monge_elkan_jw"] = K.batch_monge_elkan(tokens1, tokens2, K.batch_jaro_winkler)
+
+        if geo_field_count > 0:
+            acc = None
+            for g in range(geo_field_count):
+                col = f"geo{g}"
+                sims = K.batch_jaro_winkler(
+                    side1[col].to_numpy(object), side2[col].to_numpy(object)
+                )
+                acc = sims if acc is None else acc + sims
+            out["geography"] = acc / geo_field_count
+        else:
+            out["geography"] = pd.Series([float("nan")] * n, dtype="float64")
+
+        return pd.DataFrame(
+            {
+                "first_name": out["first_std"],
+                "middle_name": out["middle_std"],
+                "last_name": out["last_std"],
+                "full_name_sorted": out["full_name_sorted"],
+                "monge_elkan_dl": out["monge_elkan_dl"],
+                "monge_elkan_jw": out["monge_elkan_jw"],
+                "geography": out["geography"],
+            },
+            index=side1.index,
+        )
+
+    return component_scores

@@ -1,0 +1,242 @@
+"""Blocking keys, block census, and salted candidate-pair generation.
+
+The reference's candidate generator is a driver-side dict of blocks
+(``blocking_implementation.py:41-151``) or a SQL self-join
+(``src/db/operations.py:304-377``). Here blocking keys are columns and pair
+generation is an equi-join that Catalyst executes; hot blocks are split with
+explicit salting so no task ever materializes a quadratic block — the one
+genuinely custom physical strategy this engine needs at 10^12-row scale
+(SURVEY.md §4 "skew handling").
+
+NULL/empty semantics: missing values coalesce into sentinel keys
+("UNKNOWN" / soundex "0000"), reproducing
+``blocking_implementation.py:127,140-144`` — plain equality on sentinels
+replaces the reference SQL's NULL-matches-NULL logic
+(``operations.py:348-362``) without defeating join optimizations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from name_matching_spark.functions.udfs import soundex_udf
+
+__all__ = [
+    "BlockingConfig",
+    "blocking_key_column",
+    "add_blocking_key",
+    "block_census",
+    "blocking_stats",
+    "candidate_pairs_self",
+    "candidate_pairs_cross",
+]
+
+
+@dataclass
+class BlockingConfig:
+    """``passes``: named key recipes, each generating one candidate-pair
+    pass; union-of-passes is deduplicated. ``hot_block_cap``: max rows per
+    (block, salt) — blocks larger than this are split into
+    ``ceil(n/cap)`` sub-blocks paired exactly once."""
+
+    passes: list[str] = field(default_factory=lambda: ["phonetic"])
+    hot_block_cap: int = 10_000
+
+
+def blocking_key_column(kind: str) -> Column:
+    """Key recipes over the normalized frame (needs ``first_std``,
+    ``last_std``, ``sorted_full``).
+
+    - ``phonetic``: first char of first name + soundex(last name) — the
+      reference default (``blocking_implementation.py:38-39,125-137``).
+    - ``soundex_full``: soundex(first) + soundex(last) — coarser phonetic
+      canonicalization pass.
+    - ``token_sorted``: the token-sorted full name (exact-key pass; catches
+      token-order swaps that phonetic keys on first/last miss).
+    """
+    if kind == "phonetic":
+        first_char = F.upper(F.substring(F.col("first_std"), 1, 1))
+        first_char = F.when(first_char == "", "UNKNOWN").otherwise(first_char)
+        return F.concat_ws("|", first_char, soundex_udf(F.col("last_std")))
+    if kind == "soundex_full":
+        return F.concat_ws(
+            "|", soundex_udf(F.col("first_std")), soundex_udf(F.col("last_std"))
+        )
+    if kind == "token_sorted":
+        return F.when(F.col("sorted_full") == "", "UNKNOWN").otherwise(F.col("sorted_full"))
+    raise ValueError(f"unknown blocking pass: {kind}")
+
+
+def add_blocking_key(df: DataFrame, kind: str) -> DataFrame:
+    return df.withColumn("block_key", blocking_key_column(kind))
+
+
+def block_census(df: DataFrame, key_col: str = "block_key") -> DataFrame:
+    """Block-size census (``groupBy.count``) — drives skew splitting and the
+    blocking stats of ``blocking_implementation.py:99-113``."""
+    return df.groupBy(key_col).count()
+
+
+def blocking_stats(
+    census1: DataFrame, census2: DataFrame | None = None
+) -> dict[str, float]:
+    """Blocks created / comparisons executed vs potential / speedup
+    (``blocking_implementation.py:99-113`` semantics) computed from the
+    census — no pair materialization needed."""
+    if census2 is None:
+        row = census1.agg(
+            F.count("*").alias("blocks"),
+            F.sum("count").alias("rows"),
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
+        ).collect()[0]
+        potential = row["rows"] * (row["rows"] - 1) / 2 if row["rows"] else 0
+        executed = float(row["pairs"] or 0)
+        blocks = row["blocks"]
+    else:
+        j = census1.alias("a").join(census2.alias("b"), "block_key", "full")
+        row = j.agg(
+            F.count("*").alias("blocks"),
+            F.sum(F.coalesce(F.col("a.count"), F.lit(0)) * F.coalesce(F.col("b.count"), F.lit(0))).alias("pairs"),
+            F.sum(F.coalesce(F.col("a.count"), F.lit(0))).alias("rows1"),
+            F.sum(F.coalesce(F.col("b.count"), F.lit(0))).alias("rows2"),
+        ).collect()[0]
+        potential = float((row["rows1"] or 0) * (row["rows2"] or 0))
+        executed = float(row["pairs"] or 0)
+        blocks = row["blocks"]
+    return {
+        "blocks_created": blocks,
+        "comparisons_executed": executed,
+        "comparisons_potential": potential,
+        "comparisons_avoided": potential - executed,
+        "speedup": (potential / executed) if executed else float("inf"),
+    }
+
+
+def _with_salt(df: DataFrame, key_col: str, id_col: str, cap: int) -> DataFrame:
+    """Attach (nsub, salt) per row: nsub = ceil(block_size / cap) for hot
+    blocks (broadcast of the small hot-key census), salt = hash(id) % nsub."""
+    hot = (
+        df.groupBy(key_col)
+        .count()
+        .filter(F.col("count") > cap)
+        .select(key_col, F.ceil(F.col("count") / cap).cast("int").alias("nsub"))
+    )
+    out = (
+        df.join(F.broadcast(hot), key_col, "left")
+        .withColumn("nsub", F.coalesce(F.col("nsub"), F.lit(1)))
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("nsub")).cast("int")
+        )
+    )
+    return out
+
+
+def candidate_pairs_self(
+    df: DataFrame,
+    payload_cols: list[str],
+    key_col: str = "block_key",
+    id_col: str = "record_id",
+    cap: int = 10_000,
+) -> DataFrame:
+    """Within-block unordered candidate pairs of one table, each pair exactly
+    once, hot blocks salt-split.
+
+    Exactly-once pairing of sub-blocks: a row with salt ``s`` is replicated
+    to target salts ``s..nsub-1`` and joined against rows with that salt, so
+    sub-block pair (i, j) is generated only for i <= j; within equal salts an
+    id inequality dedups. Output is orientation-normalized (``id1 < id2``) —
+    orientation matters downstream because Monge-Elkan is asymmetric.
+
+    Output: ``block_key, id1, id2, s1, s2`` where s1/s2 are payload structs.
+    """
+    d = _with_salt(df, key_col, id_col, cap)
+    slim = d.select(
+        F.col(key_col),
+        F.col(id_col).alias("rid"),
+        F.col("nsub"),
+        F.col("salt"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("payload"),
+    )
+    left = slim.withColumn("tgt", F.explode(F.sequence(F.col("salt"), F.col("nsub") - 1)))
+    right = slim
+
+    joined = left.alias("l").join(
+        right.alias("r"),
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col("l.tgt") == F.col("r.salt")),
+    )
+    pairs = joined.filter(
+        (F.col("l.salt") < F.col("r.salt"))
+        | ((F.col("l.salt") == F.col("r.salt")) & (F.col("l.rid") < F.col("r.rid")))
+    )
+    swap = F.col("l.rid") > F.col("r.rid")
+    return pairs.select(
+        F.col(f"l.{key_col}").alias("block_key"),
+        F.when(swap, F.col("r.rid")).otherwise(F.col("l.rid")).alias("id1"),
+        F.when(swap, F.col("l.rid")).otherwise(F.col("r.rid")).alias("id2"),
+        F.when(swap, F.col("r.payload")).otherwise(F.col("l.payload")).alias("s1"),
+        F.when(swap, F.col("l.payload")).otherwise(F.col("r.payload")).alias("s2"),
+    )
+
+
+def candidate_pairs_cross(
+    df1: DataFrame,
+    df2: DataFrame,
+    payload_cols: list[str],
+    key_col: str = "block_key",
+    id_col: str = "record_id",
+    cap: int = 10_000,
+) -> DataFrame:
+    """Blocked candidate pairs across two tables (the reference's
+    ``get_blocking_candidates`` two-source join,
+    ``src/db/operations.py:304-377``). Orientation is fixed: side 1 = df1.
+
+    Skew handling: df2 rows are salted by hash(id) % nsub (nsub from df2's
+    hot-block census); df1 rows are replicated across all sub-salts of their
+    block. Each cross pair appears exactly once by construction.
+    """
+    hot = (
+        df2.groupBy(key_col)
+        .count()
+        .filter(F.col("count") > cap)
+        .select(key_col, F.ceil(F.col("count") / cap).cast("int").alias("nsub"))
+    )
+    right = (
+        df2.join(F.broadcast(hot), key_col, "left")
+        .withColumn("nsub", F.coalesce(F.col("nsub"), F.lit(1)))
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("nsub")).cast("int")
+        )
+        .select(
+            F.col(key_col),
+            F.col(id_col).alias("rid"),
+            F.col("salt"),
+            F.struct(*[F.col(c) for c in payload_cols]).alias("payload"),
+        )
+    )
+    left = (
+        df1.join(F.broadcast(hot), key_col, "left")
+        .withColumn("nsub", F.coalesce(F.col("nsub"), F.lit(1)))
+        .withColumn("tgt", F.explode(F.sequence(F.lit(0), F.col("nsub") - 1)))
+        .select(
+            F.col(key_col),
+            F.col(id_col).alias("rid"),
+            F.col("tgt"),
+            F.struct(*[F.col(c) for c in payload_cols]).alias("payload"),
+        )
+    )
+    joined = left.alias("l").join(
+        right.alias("r"),
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col("l.tgt") == F.col("r.salt")),
+    )
+    return joined.select(
+        F.col(f"l.{key_col}").alias("block_key"),
+        F.col("l.rid").alias("id1"),
+        F.col("r.rid").alias("id2"),
+        F.col("l.payload").alias("s1"),
+        F.col("r.payload").alias("s2"),
+    )

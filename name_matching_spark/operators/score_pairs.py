@@ -1,0 +1,164 @@
+"""Pairwise scoring of candidate pairs: fused Arrow UDF + column arithmetic.
+
+Spark shape of ``src/name_matcher.py:129-247`` (match_names) applied to a
+pair DataFrame: one vectorized UDF emits every component score per batch;
+the weighted ensemble, additional-field blend, and classification are plain
+column expressions that stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from name_matching_spark.core.scoring import (
+    DEFAULT_ADDITIONAL_WEIGHTS,
+    DEFAULT_MATCH_THRESHOLD,
+    DEFAULT_NAME_WEIGHTS,
+    DEFAULT_NON_MATCH_THRESHOLD,
+)
+from name_matching_spark.functions.udfs import make_component_scores_udf
+
+__all__ = ["MatcherConfig", "scoring_struct_cols", "score_pairs", "top_k_per_record"]
+
+
+@dataclass
+class MatcherConfig:
+    """Pluggable knobs mirroring ``NameMatcher.__init__``
+    (``src/name_matcher.py:67-107``)."""
+
+    base_similarity: str = "jaro_winkler"
+    name_weights: dict[str, float] = field(default_factory=lambda: dict(DEFAULT_NAME_WEIGHTS))
+    additional_weights: dict[str, float] = field(
+        default_factory=lambda: dict(DEFAULT_ADDITIONAL_WEIGHTS)
+    )
+    match_threshold: float = DEFAULT_MATCH_THRESHOLD
+    non_match_threshold: float = DEFAULT_NON_MATCH_THRESHOLD
+    use_birthdate: bool = True
+    geo_fields: list[str] = field(default_factory=lambda: ["province_name", "city_name"])
+
+
+def scoring_struct_cols(config: MatcherConfig) -> list[str]:
+    """Payload columns each pair side must carry (names match the normalized
+    frame; geo fields are positional aliases)."""
+    cols = ["first_std", "middle_std", "last_std", "full_std", "sorted_full"]
+    cols += [f"geo{i}" for i in range(len(config.geo_fields))]
+    if config.use_birthdate:
+        cols.append("birthdate_std")
+    return cols
+
+
+def payload_select_exprs(config: MatcherConfig) -> list:
+    """Normalized-frame columns -> scoring payload columns (geo fields get
+    positional ``geo{i}`` aliases so the fused UDF is schema-stable)."""
+    exprs = [
+        F.col("first_std"),
+        F.col("middle_std"),
+        F.col("last_std"),
+        F.col("full_std"),
+        F.col("sorted_full"),
+    ]
+    exprs += [F.col(f"{g}_std").alias(f"geo{i}") for i, g in enumerate(config.geo_fields)]
+    if config.use_birthdate:
+        exprs.append(F.col("birthdate_std"))
+    return exprs
+
+
+def score_pairs(pairs: DataFrame, config: MatcherConfig | None = None) -> DataFrame:
+    """Score a candidate-pair frame (columns ``id1, id2, s1, s2`` with
+    payload structs) and classify.
+
+    Emits the MatchResult shape (``src/db/models.py:145-191`` /
+    ``src/name_matcher.py:326-332``): flat ``score_*`` columns, overall
+    ``score``, ``classification``.
+    """
+    config = config or MatcherConfig()
+    geo_count = len(config.geo_fields)
+    udf = make_component_scores_udf(config.base_similarity, geo_count)
+
+    struct_fields = ["first_std", "middle_std", "last_std", "full_std", "sorted_full"] + [
+        f"geo{i}" for i in range(geo_count)
+    ]
+    side1 = F.struct(*[F.col(f"s1.{f}") for f in struct_fields])
+    side2 = F.struct(*[F.col(f"s2.{f}") for f in struct_fields])
+
+    scored = pairs.withColumn("_cs", udf(side1, side2))
+
+    # weighted name score (src/scorer.py:19-54): missing weighted components
+    # score 0 but keep full denominator — with the standard four components
+    # all present, this is a plain weighted sum / sum(weights).
+    total_w = sum(config.name_weights.values())
+    name_score = None
+    for comp, w in config.name_weights.items():
+        term = F.col(f"_cs.{comp}") * F.lit(w)
+        name_score = term if name_score is None else name_score + term
+    name_score = (name_score / F.lit(total_w)) if total_w > 0 else F.lit(0.0)
+    scored = scored.withColumn("score_name_score", name_score)
+
+    # additional fields (src/name_matcher.py:204-234): birthdate = exact
+    # string equality with NULL==NULL (reference compares possibly-None
+    # values with ==); geography = mean of per-field JW (from the fused UDF).
+    additional: dict[str, F.Column] = {}
+    if config.use_birthdate:
+        additional["birthdate"] = F.when(
+            F.col("s1.birthdate_std").eqNullSafe(F.col("s2.birthdate_std")), 1.0
+        ).otherwise(0.0)
+    if geo_count > 0:
+        additional["geography"] = F.col("_cs.geography")
+
+    if additional:
+        # name_weight = 1 - sum(ALL configured additional weights); absent
+        # fields' mass drops, per scorer.py:109-117
+        name_weight = 1.0 - sum(config.additional_weights.values())
+        overall = F.col("score_name_score") * F.lit(name_weight)
+        for fname, score_col in additional.items():
+            w = config.additional_weights.get(fname)
+            if w is not None:
+                overall = overall + score_col * F.lit(w)
+    else:
+        overall = F.col("score_name_score")
+
+    scored = scored.withColumn("score", overall)
+    scored = scored.withColumn(
+        "classification",
+        F.when(F.col("score") >= config.match_threshold, "match")
+        .when(F.col("score") < config.non_match_threshold, "non_match")
+        .otherwise("manual_review"),
+    )
+
+    out_cols = [
+        F.col("id1"),
+        F.col("id2"),
+        F.col("score"),
+        F.col("classification"),
+        F.col("_cs.first_name").alias("score_first_name"),
+        F.col("_cs.middle_name").alias("score_middle_name"),
+        F.col("_cs.last_name").alias("score_last_name"),
+        F.col("_cs.full_name_sorted").alias("score_full_name_sorted"),
+        F.col("_cs.monge_elkan_dl").alias("score_monge_elkan_dl"),
+        F.col("_cs.monge_elkan_jw").alias("score_monge_elkan_jw"),
+        F.col("score_name_score"),
+    ]
+    if config.use_birthdate:
+        out_cols.append(additional["birthdate"].alias("score_birthdate"))
+    if geo_count > 0:
+        out_cols.append(F.col("_cs.geography").alias("score_geography"))
+    if "block_key" in pairs.columns:
+        out_cols.insert(0, F.col("block_key"))
+    return scored.select(*out_cols)
+
+
+def top_k_per_record(
+    matches: DataFrame, k: int, id_col: str = "id1", score_col: str = "score"
+) -> DataFrame:
+    """Per-left-record top-k by score (``src/name_matcher.py:334-337``) as a
+    rank window — ties broken by id2 for determinism."""
+    w = Window.partitionBy(id_col).orderBy(F.desc(score_col), F.asc("id2"))
+    return (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,113 @@
+"""End-to-end: Spark linkage plan == brute-force oracle, cell by cell."""
+
+import pandas as pd
+import pytest
+
+from name_matching_spark.datagen import person_records
+from name_matching_spark.operators.blocking import BlockingConfig
+from name_matching_spark.operators.normalize import LinkageSchema
+from name_matching_spark.operators.score_pairs import MatcherConfig
+from name_matching_spark.plans.linkage import dedup_table, link_tables
+
+from tests.oracle_pipeline import run_pipeline
+
+SCHEMA = LinkageSchema(
+    id_col="record_id",
+    first_name="first_name",
+    middle_name_last_name="middle_name_last_name",
+    birthdate="birthdate",
+    geo_fields=["province_name", "city_name"],
+)
+
+
+@pytest.fixture(scope="module")
+def records():
+    return person_records(n_entities=60, dup_rate=0.5, seed=11)
+
+
+@pytest.fixture(scope="module")
+def spark_results(spark, records):
+    df = spark.createDataFrame(records.drop(columns=["entity_id"]))
+    out = dedup_table(
+        df,
+        schema=SCHEMA,
+        blocking=BlockingConfig(passes=["phonetic"], hot_block_cap=10_000),
+        matcher=MatcherConfig(),
+        keep_non_match=True,
+    )
+    return out.toPandas()
+
+
+@pytest.fixture(scope="module")
+def oracle_results(records):
+    return run_pipeline(records.to_dict("records"), keep_non_match=True)
+
+
+def test_pair_sets_equal(spark_results, oracle_results):
+    got = set(zip(spark_results["id1"], spark_results["id2"]))
+    want = set(oracle_results.keys())
+    assert got == want
+    assert len(got) > 50  # sanity: blocking actually produced work
+
+
+def test_scores_and_classifications_match(spark_results, oracle_results):
+    for row in spark_results.itertuples():
+        score, cls, comps = oracle_results[(row.id1, row.id2)]
+        assert row.score == pytest.approx(score, abs=1e-9), (row.id1, row.id2)
+        assert row.classification == cls, (row.id1, row.id2)
+        assert row.score_first_name == pytest.approx(comps["first_name"], abs=1e-9)
+        assert row.score_middle_name == pytest.approx(comps["middle_name"], abs=1e-9)
+        assert row.score_last_name == pytest.approx(comps["last_name"], abs=1e-9)
+        assert row.score_full_name_sorted == pytest.approx(comps["full_name_sorted"], abs=1e-9)
+        assert row.score_monge_elkan_dl == pytest.approx(comps["monge_elkan_dl"], abs=1e-9)
+        assert row.score_monge_elkan_jw == pytest.approx(comps["monge_elkan_jw"], abs=1e-9)
+        assert row.score_name_score == pytest.approx(comps["name_score"], abs=1e-9)
+        assert row.score_birthdate == pytest.approx(comps["birthdate"], abs=1e-9)
+        assert row.score_geography == pytest.approx(comps["geography"], abs=1e-9)
+
+
+def test_salting_pair_set_invariance(spark, records):
+    """Property from SURVEY §7.3 risk 3: the candidate-pair set must be
+    IDENTICAL under any hot-block cap (exactly-once pairing)."""
+    df = spark.createDataFrame(records.drop(columns=["entity_id"]))
+    base = dedup_table(df, SCHEMA, BlockingConfig(hot_block_cap=100_000), keep_non_match=True)
+    salted = dedup_table(df, SCHEMA, BlockingConfig(hot_block_cap=3), keep_non_match=True)
+    a = {(r["id1"], r["id2"]) for r in base.select("id1", "id2").collect()}
+    b = {(r["id1"], r["id2"]) for r in salted.select("id1", "id2").collect()}
+    assert a == b
+    # scores too (orientation must survive salting)
+    pa = base.toPandas().set_index(["id1", "id2"])["score"].sort_index()
+    pb = salted.toPandas().set_index(["id1", "id2"])["score"].sort_index()
+    pd.testing.assert_series_equal(pa, pb)
+
+
+def test_multi_pass_union_dedups(spark, records):
+    df = spark.createDataFrame(records.drop(columns=["entity_id"]))
+    multi = dedup_table(
+        df, SCHEMA,
+        BlockingConfig(passes=["phonetic", "token_sorted"]),
+        keep_non_match=True,
+    )
+    pdf = multi.select("id1", "id2").toPandas()
+    assert not pdf.duplicated(["id1", "id2"]).any()
+    single = dedup_table(df, SCHEMA, BlockingConfig(passes=["phonetic"]), keep_non_match=True)
+    assert multi.count() >= single.count()
+
+
+def test_cross_linkage_orientation(spark, records):
+    """link_tables keeps df1 as side 1 (Monge-Elkan asymmetry)."""
+    half = len(records) // 2
+    df1 = spark.createDataFrame(records.iloc[:half].drop(columns=["entity_id"]))
+    df2 = spark.createDataFrame(records.iloc[half:].drop(columns=["entity_id"]))
+    out = link_tables(df1, df2, SCHEMA, SCHEMA, keep_non_match=True).toPandas()
+    ids1 = set(records.iloc[:half]["record_id"])
+    ids2 = set(records.iloc[half:]["record_id"])
+    assert set(out["id1"]).issubset(ids1)
+    assert set(out["id2"]).issubset(ids2)
+    assert len(out) > 0
+
+
+def test_top_k_limit(spark, records):
+    df = spark.createDataFrame(records.drop(columns=["entity_id"]))
+    out = dedup_table(df, SCHEMA, top_k=1).toPandas()
+    assert out.groupby("id1").size().max() <= 1
