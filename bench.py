@@ -1,0 +1,88 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total wall sec), "unit", "queries": {name: sec},
+"sf"}.
+
+A small warm-up job runs first (JVM + Arrow + Python-worker spin-up excluded
+from timings, mirroring the reference's Numba warm-up exclusion in
+scripts/benchmark_performance.py:41-43).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q08_event_windows",
+    "q14_blocking_pairs",
+    "q15_match_scores",
+    "q16_clusters",
+    "q17_exact_dedup",
+    "q18_token_jaccard",
+    "q19_minhash",
+    "q24_ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    import __spark_entry__ as entrymod
+    from name_matching_spark.session import get_spark
+
+    spark = get_spark(
+        "nms-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch the JVM, Arrow path, and Python workers once
+    from name_matching_spark.functions.udfs import jaro_winkler_udf
+    from pyspark.sql import functions as F
+
+    warm = spark.range(1000).select(
+        jaro_winkler_udf(F.lit("martha"), F.lit("marhta")).alias("x")
+    )
+    warm.count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -131,7 +131,10 @@ def source_files(
     ]
     rows = []
     for e in range(n_repos):
-        owner = FIRST_NAMES[int(rng.integers(0, len(FIRST_NAMES)))].lower()
+        # realistic username diversity (entity-suffixed) — keeps the
+        # similarity kernels honest: batch-level pair memoization cannot
+        # collapse owner comparisons to a tiny distinct set
+        owner = FIRST_NAMES[int(rng.integers(0, len(FIRST_NAMES)))].lower() + str(e % 9973)
         name = SURNAMES[int(rng.integers(0, len(SURNAMES)))].lower().replace(" ", "-")
         lang = LANGS[int(rng.integers(0, len(LANGS)))]
         variants = [owner]

@@ -65,6 +65,27 @@ def _as_str_array(values) -> np.ndarray:
     )
 
 
+def _dedup_pairs(a: np.ndarray, b: np.ndarray):
+    """Batch-local memoization (the Spark analog of the reference's
+    ``lru_cache`` on the scalar similarities, ``src/matcher.py:157,224``):
+    compute each DISTINCT (a, b) pair once per Arrow batch, scatter back.
+    Returns (a_unique, b_unique, inverse) or None when duplication is too
+    low to pay for the sort."""
+    n = len(a)
+    if n < 64:
+        return None
+    # hash-based factorize (C-speed) per side, then integer pair codes —
+    # avoids sort-based np.unique over object strings, which is
+    # memory-latency-bound and scales poorly across many cores
+    ca, ua = pd.factorize(a)
+    cb, ub = pd.factorize(b)
+    pair_code = ca.astype(np.int64) * np.int64(len(ub)) + cb
+    uniq_idx, inv = np.unique(pair_code, return_index=True, return_inverse=True)[1:]
+    if len(uniq_idx) > n * 0.8:
+        return None
+    return a[uniq_idx], b[uniq_idx], inv
+
+
 def batch_jaro(s1, s2) -> np.ndarray:
     """Vectorized Jaro similarity over two equal-length string collections.
 
@@ -74,6 +95,14 @@ def batch_jaro(s1, s2) -> np.ndarray:
     """
     a = _as_str_array(s1)
     b = _as_str_array(s2)
+    d = _dedup_pairs(a, b)
+    if d is not None:
+        au, bu, inv = d
+        return _batch_jaro_raw(au, bu)[inv]
+    return _batch_jaro_raw(a, b)
+
+
+def _batch_jaro_raw(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     A, len1 = _encode(a, _PAD_A)
     B, len2 = _encode(b, _PAD_B)
     n = len(a)
@@ -129,13 +158,21 @@ def batch_jaro_winkler(s1, s2, prefix_weight: float = 0.1) -> np.ndarray:
     both-empty -> 1.0, one-empty -> 0.0; ``src/matcher.py:158-187``)."""
     a = _as_str_array(s1)
     b = _as_str_array(s2)
+    d = _dedup_pairs(a, b)
+    if d is not None:
+        au, bu, inv = d
+        return _batch_jw_raw(au, bu, prefix_weight)[inv]
+    return _batch_jw_raw(a, b, prefix_weight)
+
+
+def _batch_jw_raw(a: np.ndarray, b: np.ndarray, prefix_weight: float = 0.1) -> np.ndarray:
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.float64)
     A, len1 = _encode(a, _PAD_A)
     B, len2 = _encode(b, _PAD_B)
 
-    jaro = batch_jaro(a, b)
+    jaro = _batch_jaro_raw(a, b)
 
     plen = np.zeros(n, dtype=np.int64)
     alive = np.ones(n, dtype=bool)
@@ -166,6 +203,14 @@ def batch_dl_distance(s1, s2) -> np.ndarray:
     """
     a = _as_str_array(s1)
     b = _as_str_array(s2)
+    d = _dedup_pairs(a, b)
+    if d is not None:
+        au, bu, inv = d
+        return _batch_dl_raw(au, bu)[inv]
+    return _batch_dl_raw(a, b)
+
+
+def _batch_dl_raw(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     n = len(a)
     out = np.zeros(n, dtype=np.int64)
     if n == 0:
@@ -244,6 +289,22 @@ def batch_dl_similarity(s1, s2) -> np.ndarray:
     sim = np.where(one_empty, 0.0, sim)
     sim = np.where(both_empty, 1.0, sim)
     return sim
+
+
+def batch_monge_elkan_str(full1, full2, kernel) -> np.ndarray:
+    """Monge-Elkan over whitespace tokens of full-name strings, with
+    batch-local pair memoization BEFORE tokenization (the flatten +
+    segment-reduce then runs only on distinct name pairs)."""
+    a = _as_str_array(full1)
+    b = _as_str_array(full2)
+    d = _dedup_pairs(a, b)
+    if d is None:
+        return batch_monge_elkan(
+            [s.split() for s in a], [s.split() for s in b], kernel
+        )
+    au, bu, inv = d
+    res = batch_monge_elkan([s.split() for s in au], [s.split() for s in bu], kernel)
+    return res[inv]
 
 
 def batch_monge_elkan(tokens1, tokens2, kernel) -> np.ndarray:

@@ -132,11 +132,11 @@ def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_c
 
         # Monge-Elkan over whitespace tokens of the standardized full names.
         # Reference gates on non-empty token lists (name_matcher.py:183-196);
-        # batch_monge_elkan returns 0.0 for those rows already.
-        tokens1 = [s.split() if s else [] for s in side1["full_std"].fillna("")]
-        tokens2 = [s.split() if s else [] for s in side2["full_std"].fillna("")]
-        out["monge_elkan_dl"] = K.batch_monge_elkan(tokens1, tokens2, K.batch_dl_similarity)
-        out["monge_elkan_jw"] = K.batch_monge_elkan(tokens1, tokens2, K.batch_jaro_winkler)
+        # the kernel returns 0.0 for those rows already.
+        full1 = side1["full_std"].fillna("").to_numpy(object)
+        full2 = side2["full_std"].fillna("").to_numpy(object)
+        out["monge_elkan_dl"] = K.batch_monge_elkan_str(full1, full2, K.batch_dl_similarity)
+        out["monge_elkan_jw"] = K.batch_monge_elkan_str(full1, full2, K.batch_jaro_winkler)
 
         if geo_field_count > 0:
             acc = None
@@ -163,4 +163,9 @@ def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_c
             index=side1.index,
         )
 
-    return component_scores
+    # The UDF is deterministic, but advertising that lets CollapseProject
+    # inline one _cs reference per consumer — the plan then evaluates the
+    # (expensive) UDF once per downstream expression (observed: 4
+    # ArrowEvalPython nodes for one scoring call). Nondeterministic blocks
+    # the duplication; the UDF runs exactly once per pair batch.
+    return component_scores.asNondeterministic()

@@ -43,7 +43,7 @@ class BlockingConfig:
     ``ceil(n/cap)`` sub-blocks paired exactly once."""
 
     passes: list[str] = field(default_factory=lambda: ["phonetic"])
-    hot_block_cap: int = 10_000
+    hot_block_cap: int = 1_000
 
 
 def blocking_key_column(kind: str) -> Column:
@@ -139,7 +139,7 @@ def candidate_pairs_self(
     payload_cols: list[str],
     key_col: str = "block_key",
     id_col: str = "record_id",
-    cap: int = 10_000,
+    cap: int = 1_000,
 ) -> DataFrame:
     """Within-block unordered candidate pairs of one table, each pair exactly
     once, hot blocks salt-split.
@@ -188,7 +188,7 @@ def candidate_pairs_cross(
     payload_cols: list[str],
     key_col: str = "block_key",
     id_col: str = "record_id",
-    cap: int = 10_000,
+    cap: int = 1_000,
 ) -> DataFrame:
     """Blocked candidate pairs across two tables (the reference's
     ``get_blocking_candidates`` two-source join,

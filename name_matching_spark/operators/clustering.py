@@ -1,0 +1,130 @@
+"""Transitive clustering: connected components on DataFrames.
+
+North-rule extension (NOT in the reference, whose closest artifact is the
+pair-uniqueness constraint ``src/db/models.py:189-191``): matched pairs are
+edges; components get stable ``cluster_id = min(member_id)``.
+
+Algorithm: alternating large-star / small-star label propagation
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SOCC'14) —
+O(log^2 n) rounds, each round two shuffles, no GraphX dependency, scales to
+10^12 edges because per-round state is just the edge list. ``localCheckpoint``
+every few rounds truncates lineage so plans don't blow up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "assign_clusters"]
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set, self-loops dropped, (small, large) orientation."""
+    return (
+        edges.select(
+            F.least(F.col("u"), F.col("v")).alias("u"),
+            F.greatest(F.col("u"), F.col("v")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    m = min(N(u) ∪ {u})."""
+    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every neighbor v <= u (and u itself) to
+    m = min({v in N(u): v <= u} ∪ {u})."""
+    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    small = nbrs.filter(F.col("v") <= F.col("u"))
+    mins = (
+        small.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    )
+    out = small.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    centers = mins.select(F.col("u"), F.col("m").alias("v"))
+    return out.union(centers)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iterations: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Edges -> (record_id, cluster_id) for every node appearing in an edge;
+    cluster_id = minimum member id of the component."""
+    def _stats(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(
+                F.xxhash64(F.col("u").cast("string"), F.col("v").cast("string"))
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    cur = _canonical(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint()
+    prev = _stats(cur)
+
+    for it in range(max_iterations):
+        stepped = _canonical(_small_star(_large_star(cur)))
+        # each star step references its input several times (symmetrize
+        # unions + joins) — without truncation the logical plan grows
+        # EXPONENTIALLY in iterations and OOMs the driver during analysis;
+        # default is therefore to checkpoint every round (the round is
+        # materialized for the convergence stats anyway)
+        if (it + 1) % checkpoint_every == 0:
+            stepped = stepped.localCheckpoint()
+        # convergence: identical canonical edge set between rounds, detected
+        # by count + order-insensitive checksum (a collision merely costs one
+        # extra round — the star fixpoint is stable under further rounds)
+        now = _stats(stepped)
+        cur = stepped
+        if now == prev:
+            break
+        prev = now
+
+    # converged: stars centered at component minima; canonical orientation
+    # (u < v) therefore stores (root, member). Roots map to themselves.
+    members = cur.select(F.col("v").alias("record_id"), F.col("u").alias("cluster_id"))
+    roots = cur.select(F.col("u").alias("record_id"), F.col("u").alias("cluster_id")).distinct()
+    return members.union(roots).groupBy("record_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
+def assign_clusters(
+    records: DataFrame,
+    matches: DataFrame,
+    id_col: str = "record_id",
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Attach cluster_id to every record: matched components get
+    min-member-id labels; unmatched records are singleton clusters of
+    themselves."""
+    comps = connected_components(matches, src=src, dst=dst)
+    return (
+        records.join(comps, records[id_col] == comps["record_id"], "left")
+        .drop(comps["record_id"])
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    )

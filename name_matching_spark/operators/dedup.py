@@ -1,0 +1,276 @@
+"""Document deduplication operators for large-scale corpus pipelines.
+
+Beyond the reference's record-linkage scope: the dedup toolkit a 100 TB
+training-data pipeline needs, expressed Spark-first. Everything below is
+built from JVM-side primitives (split/explode/groupBy/join + md5) — no
+Python in any hot path — so each operator is one or two shuffles whose keys
+are explicitly chosen (doc_id or token/band buckets).
+
+Hashes use md5 (not Spark's ``hash``) so results are portable across
+engines and stable across Spark versions — the correctness oracle runs the
+same md5 logic in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "tokenize_docs",
+    "token_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_near_dupes",
+]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-content dedup by md5 groupBy: one row per distinct content with
+    the minimum id as the keeper + duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def tokenize_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token) pairs, lowercased, distinct — the relational token-set
+    representation used by Jaccard and MinHash below."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with token-set Jaccard >= threshold, computed
+    relationally: explode tokens -> self-join on token (the blocking key is
+    the token itself) -> count intersections -> |A∪B| = |A|+|B|-|A∩B|.
+
+    Scale controls: ``group_col`` restricts candidates to a partition (e.g.
+    language); ``max_token_df`` drops ultra-common tokens (stop-words are
+    skew bombs: a token in k docs generates k² join rows).
+
+    Semantics: token-set Jaccard per the reference's ``jaccard_similarity``
+    (``src/matcher.py:453-485``) lifted from one pair to all-pairs.
+    """
+    toks = tokenize_docs(df, text_col, id_col)
+    if group_col:
+        toks = toks.join(df.select(id_col, group_col), id_col)
+
+    if max_token_df is not None:
+        df_counts = toks.groupBy("token").count()
+        keep = df_counts.filter(F.col("count") <= max_token_df).select("token")
+        toks = toks.join(keep, "token")
+
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("set_size"))
+
+    join_keys = ["token"] + ([group_col] if group_col else [])
+    a = toks.select(
+        F.col(id_col).alias("id1"), *[F.col(c) for c in join_keys]
+    )
+    b = toks.select(
+        F.col(id_col).alias("id2"), *[F.col(c) for c in join_keys]
+    )
+    inter = (
+        a.join(b, join_keys)
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("intersection"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id1", "set_size": "size1"}), "id1")
+        .join(sizes.withColumnsRenamed({id_col: "id2", "set_size": "size2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("size1") + F.col("size2") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "intersection", "size1", "size2", "jaccard")
+    )
+    return out
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, shingle_len: int) -> DataFrame:
+    """Distinct character shingles per doc via sequence+transform (JVM-side,
+    no UDF)."""
+    # substring with a column start needs SQL expr; the whole shingle set is
+    # one JVM-side transform over a position sequence
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(lower(regexp_replace({text_col}, '\\\\s+', ' '))) - {shingle_len - 1}, 1)), "
+                    f"i -> substring(lower(regexp_replace({text_col}, '\\\\s+', ' ')), i, {shingle_len}))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    shingle_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: h_i(doc) = min over shingles of
+    md5(i || shingle) (first 16 hex chars, compared as strings — portable
+    across engines).
+
+    Implementation is a single groupBy after exploding (shingle x hash_index)
+    — map-side partial min keeps shuffle volume at num_hashes rows per doc.
+    """
+    sh = _shingles(df, text_col, id_col, shingle_len)
+    exploded = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
+        F.col("shingle"),
+    )
+    hashed = exploded.select(
+        id_col,
+        "h",
+        F.substring(F.md5(F.concat_ws("|", F.col("h").cast("string"), F.col("shingle"))), 1, 16).alias("hv"),
+    )
+    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows_per_band = num_hashes/bands; docs sharing ONE full band signature
+    become candidates (classic banding estimate: threshold ~
+    (1/bands)^(1/rows_per_band)). Output: (id1, id2, n_shared_bands).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    sig = minhash_signatures(df, num_hashes, shingle_len, text_col, id_col)
+    banded = (
+        sig.withColumn("band", (F.col("h") / (num_hashes // bands)).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("minhash"))).alias("band_sig"))
+    )
+    a = banded.select(F.col(id_col).alias("id1"), "band", "band_sig")
+    b = banded.select(F.col(id_col).alias("id2"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash per doc over lowercase word tokens.
+
+    Token hash = first 16 hex chars of md5 (64 bits, portable); bit b of the
+    signature is 1 iff more distinct tokens have bit b set than unset.
+    Relational form: explode (token x bit) -> sum votes -> reassemble via
+    bit shifts. Output column ``simhash`` is a bigint (bit 63 interpreted as
+    sign — comparisons only ever use XOR popcount, so sign is irrelevant).
+    """
+    toks = tokenize_docs(df, text_col, id_col)
+    hashed = toks.select(
+        id_col,
+        # conv(.., 16, -10): SIGNED 64-bit reinterpretation of the 16 hex
+        # chars — fits bigint under ANSI; only the bit pattern matters
+        F.conv(F.substring(F.md5(F.col("token")), 1, 16), 16, -10).cast("bigint").alias("th"),
+    )
+    exploded = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.col("th"),
+    )
+    votes = exploded.withColumn(
+        "vote",
+        F.when(F.expr("(th >> b) & 1") == 1, 1).otherwise(-1),
+    )
+    bitsum = votes.groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
+    return bitsum.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming distance <= max_hamming between
+    simhashes, using the chunk-pigeonhole trick: split the signature into
+    ``n_chunks`` pieces; any pair within distance < n_chunks must agree on at
+    least one full chunk, which becomes the blocking key.
+
+    Requires ``max_hamming < n_chunks`` for completeness.
+    """
+    if max_hamming >= n_chunks:
+        raise ValueError("completeness requires max_hamming < n_chunks")
+    sig = simhash_signatures(df, bits, text_col, id_col)
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
+    ).withColumn(
+        "chunk_val",
+        F.expr(f"shiftrightunsigned(simhash, c * {chunk_bits}) & {mask}"),
+    )
+    a = chunks.select(F.col(id_col).alias("id1"), F.col("simhash").alias("sh1"), "c", "chunk_val")
+    b = chunks.select(F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"), "c", "chunk_val")
+    cand = (
+        a.join(b, ["c", "chunk_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sh1", "sh2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1,0 +1,120 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — JVM-side ``aggregate``/``zip_with``
+arithmetic in DOUBLE precision (deterministic left-to-right summation, so an
+oracle engine running the same order reproduces bits). Scale path: random
+hyperplane LSH bucketing that cuts the candidate set before the exact
+rerank; planes are seeded and data-independent so buckets are reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "cosine_similarity_col",
+    "brute_force_topk",
+    "hyperplane_lsh_buckets",
+    "lsh_topk",
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns (double math,
+    sequential reduction; 0.0 when either norm is 0)."""
+    dot = _dot(a, b)
+    na = F.sqrt(_dot(a, a))
+    nb = F.sqrt(_dot(b, b))
+    return F.when((na == 0) | (nb == 0), 0.0).otherwise(dot / (na * nb))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for every query row against the corpus.
+
+    crossJoin + windowed rank; Catalyst broadcasts the smaller side. O(Q*N)
+    — the correctness baseline and the right tool when Q is small (rerank
+    stage). Ties break on neighbor id for determinism. Self-pairs (same id)
+    are excluded.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _seeded_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach a ``bucket`` column: sign bits against ``n_planes`` seeded
+    random hyperplanes packed into a bigint. Cosine-similar vectors collide
+    with probability (1 - theta/pi)^n_planes."""
+    planes = _seeded_planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k: bucket by hyperplane signature, exact
+    cosine rerank WITHIN buckets. One shuffle on bucket instead of a full
+    cross join — the 100 TB path (recall is tunable via n_planes; fewer
+    planes = bigger buckets = higher recall & cost)."""
+    b = hyperplane_lsh_buckets(df, dim, n_planes, seed, vec_col)
+    a = b.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket")
+    c = b.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,142 @@
+"""Text analysis operators over a documents table — all JVM-side expressions.
+
+Language-ID, quality scoring, token counting, fingerprinting. Every operator
+is a deterministic column expression (regexp/split/md5) so the DuckDB oracle
+can reproduce it exactly; no UDFs, no model weights.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _is_any(word: Column, values: list[str]) -> Column:
+    """OR-chain equality — lambda variables inside higher-order functions
+    don't support Column.isin."""
+    return reduce(or_, [word == v for v in values])
+
+__all__ = [
+    "token_count",
+    "quality_features",
+    "language_id",
+    "fingerprint",
+    "LANG_MARKERS",
+]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish proxy: splits on whitespace after
+    trimming; empty text -> 0)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features: length, token count, mean token length,
+    punctuation ratio, digit ratio, uppercase ratio, stopword ratio.
+
+    A composite ``quality_score`` in [0,1] penalizes extreme punctuation /
+    digit density and very short documents — the usual cheap pre-filter in
+    corpus pipelines.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(t)), r"\s+"),
+            lambda w: _is_any(w, ["the", "a", "an", "and", "or", "of", "to", "in", "is"]),
+        )
+    )
+    punct_ratio = n_punct / safe_chars
+    digit_ratio = n_digit / safe_chars
+    upper_ratio = n_upper / safe_chars
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    mean_token_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(0.0)
+
+    quality = (
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(0.5))
+        - F.least(digit_ratio, F.lit(0.3))
+        - F.when(n_tokens < 5, 0.2).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_token_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.greatest(quality, F.lit(0.0)), 6).alias("quality_score"),
+    )
+
+
+# Deterministic marker-word lists per language (heuristic n-gram/stopword
+# lang-ID). Tiny by design: the operator's contract is determinism, not
+# linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with"],
+    "es": ["el", "la", "de", "que", "los", "por"],
+    "de": ["der", "die", "und", "das", "ist", "mit"],
+    "fr": ["le", "la", "les", "des", "est", "avec"],
+}
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Argmax over per-language marker-token hit counts; ties and zero hits
+    -> "und" (undetermined). Deterministic tie-break: higher count wins,
+    then lexicographically smaller language code."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    def _marker_pred(markers: list[str]):
+        # single-arg lambda: a second (defaulted) parameter would make
+        # F.filter pass the element INDEX into it
+        return lambda w: _is_any(w, markers)
+
+    counts = [
+        F.size(F.filter(toks, _marker_pred(m))).alias(lang)
+        for lang, m in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), F.col(text_col), *counts)
+    # argmax via a greatest-chain in lexicographic lang order: a later lang
+    # replaces only on STRICTLY greater count, so ties keep the
+    # lexicographically smallest language; zero hits keep "und"
+    langs = sorted(LANG_MARKERS)
+    best_lang = F.lit("und")
+    best_count = F.lit(0)
+    for lang in langs:
+        c = F.col(lang)
+        best_lang = F.when(c > best_count, F.lit(lang)).otherwise(best_lang)
+        best_count = F.greatest(c, best_count)
+    return scored.select(
+        F.col(id_col),
+        *[F.col(lang).alias(f"hits_{lang}") for lang in langs],
+        best_lang.alias("lang_pred"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprint: md5 of the whitespace/case-normalized text plus
+    a sorted-token fingerprint (token-order-insensitive)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    sorted_tokens = F.array_join(F.array_sort(F.split(norm, " ")), " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_fingerprint"),
+        F.md5(sorted_tokens).alias("token_fingerprint"),
+    )

@@ -52,12 +52,26 @@ def _multi_pass_pairs(
     frames = []
     for p in blocking.passes:
         keyed = work.withColumn("block_key", blocking_key_column(p))
+        # A small/single-file source arrives as very few partitions; every
+        # narrow op (and a broadcast pair join) preserves that, so scoring
+        # would serialize onto one core. Spread to cluster parallelism
+        # first — a no-op shuffle-wise when the input is already wide.
+        sc = keyed.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        if keyed.rdd.getNumPartitions() < target:
+            keyed = keyed.repartition(target)
+        # the keyed frame is consumed 3x (hot census + both join arms); a
+        # lazy local checkpoint materializes the normalize/parse UDF chain
+        # once instead of re-running it per consumer, and keeps the pair-join
+        # plan small
+        keyed = keyed.localCheckpoint(eager=False)
         if other is None:
             frames.append(
                 candidate_pairs_self(keyed, payload_cols, cap=blocking.hot_block_cap)
             )
         else:
             keyed2 = other.withColumn("block_key", blocking_key_column(p))
+            keyed2 = keyed2.localCheckpoint(eager=False)
             frames.append(
                 candidate_pairs_cross(keyed, keyed2, payload_cols, cap=blocking.hot_block_cap)
             )

@@ -1,0 +1,41 @@
+"""Sinks (S6-S8 of SURVEY.md §2.1).
+
+The reference's sinks are MySQL INSERTs (``src/db/operations.py:118-197``)
+and small CSV reports. Here: parquet/table appends with pair-uniqueness
+enforcement (the DB uniqueness constraint ``src/db/models.py:189-191``
+becomes a dropDuplicates before write), partitioned layouts for the match
+table, and a tiny CSV report writer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_match_results", "write_report_csv"]
+
+
+def write_match_results(
+    matches: DataFrame,
+    path_or_table: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Append match results with the pair-uniqueness constraint enforced.
+    A path writes parquet; a catalog name writes via writeTo (Iceberg when
+    the catalog is Iceberg — snapshot-per-write gives the lineage the
+    checkpoint manifests reference)."""
+    unique = matches.dropDuplicates(["id1", "id2"])
+    if "/" in path_or_table:
+        w = unique.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path_or_table)
+    else:
+        unique.writeTo(path_or_table).append()
+
+
+def write_report_csv(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
+    """Small human-facing CSV report (S8; ``src/cli.py:108-110`` analog).
+    Guarded by a row cap — reports are driver-sized by definition."""
+    df.limit(max_rows).toPandas().to_csv(path, index=False)

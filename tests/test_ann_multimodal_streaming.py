@@ -1,0 +1,163 @@
+"""Similarity search, multimodal plumbing, streaming operators."""
+
+import hashlib
+import time
+
+import numpy as np
+import pytest
+
+from name_matching_spark.operators import multimodal
+from name_matching_spark.operators.similarity_search import (
+    brute_force_topk,
+    hyperplane_lsh_buckets,
+    lsh_topk,
+)
+from name_matching_spark.streaming.events import windowed_event_counts
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 8)).astype(np.float32)
+    # make 3 tight clusters for meaningful neighbors
+    base[10:20] = base[0] + rng.standard_normal((10, 8)).astype(np.float32) * 0.05
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    return rows, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _py_topk(rows, k):
+    ids = [r[0] for r in rows]
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    out = {}
+    for i, q in enumerate(V):
+        sims = V @ q / np.where(norms * norms[i] == 0, 1, norms * norms[i])
+        order = sorted(
+            [(float(sims[j]), ids[j]) for j in range(len(ids)) if j != i],
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[ids[i]] = [(j, s) for s, j in order[:k]]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    rows, df = vectors
+    got = {}
+    for r in brute_force_topk(df, df, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    want = _py_topk(rows, 3)
+    for q, neighbors in want.items():
+        got_sorted = [n for _, n, _ in sorted(got[q])]
+        want_ids = [n for n, _ in neighbors]
+        assert got_sorted == want_ids, q
+        for (rank, n, cos), (wn, ws) in zip(sorted(got[q]), neighbors):
+            assert cos == pytest.approx(ws, abs=1e-9)
+
+
+def test_lsh_buckets_deterministic(spark, vectors):
+    _, df = vectors
+    b1 = {r["vec_id"]: r["bucket"] for r in hyperplane_lsh_buckets(df, dim=8, seed=9).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in hyperplane_lsh_buckets(df, dim=8, seed=9).collect()}
+    assert b1 == b2
+    b3 = {r["vec_id"]: r["bucket"] for r in hyperplane_lsh_buckets(df, dim=8, seed=10).collect()}
+    assert b1 != b3  # different planes, different buckets (overwhelmingly)
+
+
+def test_lsh_topk_recall_on_tight_cluster(spark, vectors):
+    rows, df = vectors
+    exact = _py_topk(rows, 1)
+    approx = {}
+    for r in lsh_topk(df, dim=8, k=1, n_planes=4).collect():
+        approx[r["query_id"]] = r["neighbor_id"]
+    # the tight cluster (ids 0,10..19) must find in-cluster neighbors
+    cluster = [0] + list(range(10, 20))
+    hits = sum(1 for q in cluster if approx.get(q) == exact[q][0][0])
+    assert hits / len(cluster) >= 0.7  # few planes -> high recall
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media_df(self, spark):
+        rows = [
+            (i, "image", "image/fake", bytes(f"payload-{i}".encode()) * 10)
+            for i in range(6)
+        ]
+        return spark.createDataFrame(rows, "media_id long, modality string, mime string, payload binary")
+
+    def test_metadata(self, spark, media_df):
+        out = {r["media_id"]: r for r in multimodal.attach_media_metadata(media_df).collect()}
+        assert out[0]["n_bytes"] == len(b"payload-0" * 10)
+        assert out[0]["payload_sha"] == hashlib.sha256(b"payload-0" * 10).hexdigest()
+
+    def test_extract_features_with_fake_decoder(self, spark, media_df):
+        multimodal.register_decoder("image", multimodal.deterministic_fake_decoder)
+        try:
+            out = {r["media_id"]: r for r in multimodal.extract_features(media_df).collect()}
+            assert len(out) == 6
+            assert len(out[0]["feature"]) == 16
+            assert out[0]["width"] >= 64
+            # determinism: same payload -> same feature
+            again = {r["media_id"]: r for r in multimodal.extract_features(media_df).collect()}
+            assert list(out[3]["feature"]) == list(again[3]["feature"])
+        finally:
+            multimodal._DECODERS.clear()
+
+    def test_unregistered_modality_raises(self, spark, media_df):
+        from py4j.protocol import Py4JJavaError
+
+        with pytest.raises(Exception) as exc_info:
+            multimodal.extract_features(media_df).collect()
+        assert "no decoder registered" in str(exc_info.value)
+
+
+def test_windowed_event_counts_batch(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 10), "click", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 50), "click", 2.0),
+        (dt.datetime(2024, 1, 1, 1, 10), "click", 4.0),
+        (dt.datetime(2024, 1, 1, 0, 30), "buy", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(df).collect()
+    }
+    assert out[(0, "click")] == (2, 3.0)
+    assert out[(1, "click")] == (1, 4.0)
+    assert out[(0, "buy")] == (1, 8.0)
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    """Drive the same aggregation through readStream + memory sink."""
+    import datetime as dt
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 10), "click", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 50), "click", 2.0),
+        (dt.datetime(2024, 1, 1, 1, 10), "buy", 4.0),
+    ]
+    batch = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    batch.write.parquet(str(src / "batch0"))
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src / "*"))
+    agg = windowed_event_counts(stream, window_duration="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("evt_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"].hour, r["event_type"]): r["n_events"]
+            for r in spark.sql("select * from evt_counts").collect()
+        }
+        assert got[(0, "click")] == 2
+        assert got[(1, "buy")] == 1
+    finally:
+        q.stop()

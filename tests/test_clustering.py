@@ -1,0 +1,75 @@
+"""Connected components vs a union-find oracle on random graphs."""
+
+import numpy as np
+import pytest
+
+from name_matching_spark.operators.clustering import assign_clusters, connected_components
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min-member labels
+    labels = {}
+    for n in nodes:
+        r = find(n)
+        labels.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in labels.items() for n in members}
+
+
+def _random_edges(n_nodes, n_edges, seed):
+    rng = np.random.default_rng(seed)
+    nodes = [f"n{i:04d}" for i in range(n_nodes)]
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.integers(0, n_nodes, size=2)
+        if a != b:
+            edges.add((nodes[int(a)], nodes[int(b)]))
+    return nodes, sorted(edges)
+
+
+@pytest.mark.parametrize("n_nodes,n_edges,seed", [(30, 20, 1), (100, 60, 2), (50, 120, 3)])
+def test_components_match_union_find(spark, n_nodes, n_edges, seed):
+    nodes, edges = _random_edges(n_nodes, n_edges, seed)
+    df = spark.createDataFrame(edges, ["id1", "id2"])
+    got = {
+        r["record_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    touched = sorted({x for e in edges for x in e})
+    want = _union_find_components(edges, touched)
+    want_touched = {n: want[n] for n in touched}
+    assert got == want_touched
+
+
+def test_long_chain(spark):
+    # worst case for naive propagation: a path graph; star algorithm must
+    # converge in O(log^2 n) rounds, not O(n)
+    n = 64
+    edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["id1", "id2"])
+    got = connected_components(df).collect()
+    assert len(got) == n
+    assert {r["cluster_id"] for r in got} == {"c000"}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "id1 string, id2 string")
+    assert connected_components(df).count() == 0
+
+
+def test_assign_clusters_singletons(spark):
+    records = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["record_id"])
+    matches = spark.createDataFrame([("a", "b")], ["id1", "id2"])
+    got = {r["record_id"]: r["cluster_id"] for r in assign_clusters(records, matches).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "d"}

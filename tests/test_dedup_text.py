@@ -1,0 +1,167 @@
+"""Dedup suite + text analysis vs straightforward Python oracles."""
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from name_matching_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_near_dupes,
+    simhash_signatures,
+    token_jaccard_pairs,
+)
+from name_matching_spark.operators.text_analysis import (
+    fingerprint,
+    language_id,
+    quality_features,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (3, "el rapido zorro marron salta sobre el perro"),
+    (4, "completely different content about spark engines"),
+    (5, "la la le les des est avec bonjour"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs_df):
+    out = {r["content_hash"]: (r["keep_id"], r["dup_count"]) for r in exact_dedup(docs_df).collect()}
+    h = hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert out[h] == (0, 2)
+    assert sum(v[1] for v in out.values()) == len(DOCS)
+
+
+def _py_token_jaccard(t1, t2):
+    s1, s2 = set(t1.lower().split()), set(t2.lower().split())
+    if not s1 or not s2:
+        return None
+    return len(s1 & s2) / len(s1 | s2)
+
+
+def test_token_jaccard_pairs(spark, docs_df):
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in token_jaccard_pairs(docs_df, threshold=0.0).collect()
+    }
+    # oracle: every pair with non-zero intersection
+    want = {}
+    for (i1, t1), (i2, t2) in itertools.combinations(DOCS, 2):
+        j = _py_token_jaccard(t1, t2)
+        if j:  # zero-intersection pairs are never generated relationally
+            want[(i1, i2)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_token_jaccard_max_df_drops_stopword_blowup(spark, docs_df):
+    full = token_jaccard_pairs(docs_df, threshold=0.0).count()
+    limited = token_jaccard_pairs(docs_df, threshold=0.0, max_token_df=2).count()
+    assert limited <= full
+
+
+def _py_minhash(text, num_hashes, shingle_len):
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower())
+    shingles = {norm[i : i + shingle_len] for i in range(max(len(norm) - shingle_len + 1, 1))}
+    out = {}
+    for h in range(num_hashes):
+        out[h] = min(
+            hashlib.md5(f"{h}|{s}".encode()).hexdigest()[:16] for s in shingles
+        )
+    return out
+
+
+def test_minhash_signatures_match_oracle(spark, docs_df):
+    got = {}
+    for r in minhash_signatures(docs_df, num_hashes=8, shingle_len=4).collect():
+        got.setdefault(r["doc_id"], {})[r["h"]] = r["minhash"]
+    for doc_id, text in DOCS:
+        want = _py_minhash(text, 8, 4)
+        assert got[doc_id] == want, doc_id
+
+
+def test_minhash_lsh_finds_near_dupes(spark, docs_df):
+    pairs = {
+        (r["id1"], r["id2"]): r["n_shared_bands"]
+        for r in minhash_lsh_pairs(docs_df, num_hashes=16, bands=8, shingle_len=4).collect()
+    }
+    assert (0, 1) in pairs  # exact dup shares all bands
+    assert pairs[(0, 1)] == 8
+    assert (0, 2) in pairs  # near dup shares some band
+    assert (0, 4) not in pairs
+
+
+def _py_simhash(text, bits=64):
+    toks = {t for t in text.lower().split() if t}
+    votes = [0] * bits
+    for t in toks:
+        hv = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+        for b in range(bits):
+            votes[b] += 1 if (hv >> b) & 1 else -1
+    sig = 0
+    for b in range(bits):
+        if votes[b] > 0:
+            sig |= 1 << b
+    # reinterpret as signed 64-bit (Spark bigint)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_matches_oracle(spark, docs_df):
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs_df).collect()}
+    for doc_id, text in DOCS:
+        if text:
+            assert got[doc_id] == _py_simhash(text), doc_id
+
+
+def test_simhash_near_dupes(spark, docs_df):
+    out = {(r["id1"], r["id2"]): r["hamming"] for r in simhash_near_dupes(docs_df, max_hamming=3).collect()}
+    assert out[(0, 1)] == 0  # identical docs
+    s0 = _py_simhash(DOCS[0][1])
+    s2 = _py_simhash(DOCS[2][1])
+    ham = bin((s0 ^ s2) & ((1 << 64) - 1)).count("1")
+    if ham <= 3:
+        assert (0, 2) in out
+
+
+def test_quality_features(spark, docs_df):
+    rows = {r["doc_id"]: r for r in quality_features(docs_df).collect()}
+    r0 = rows[0]
+    assert r0["n_tokens"] == 9
+    assert r0["stopword_ratio"] == pytest.approx(2 / 9, abs=1e-6)
+    assert rows[6]["n_tokens"] == 0
+    assert rows[6]["quality_score"] <= 0.8  # short-doc penalty applied
+
+
+def test_language_id(spark, docs_df):
+    rows = {r["doc_id"]: r["lang_pred"] for r in language_id(docs_df).collect()}
+    assert rows[0] == "en"
+    assert rows[3] == "es"
+    assert rows[5] == "fr"
+    assert rows[4] == "und" or rows[4] == "en"  # "about spark engines" has no markers
+    assert rows[6] == "und"
+
+
+def test_fingerprint_token_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta  ALPHA"), (2, "alpha beta")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in fingerprint(df).collect()}
+    assert rows[0]["token_fingerprint"] == rows[1]["token_fingerprint"]
+    assert rows[0]["content_fingerprint"] != rows[1]["content_fingerprint"]
+    assert rows[0]["token_fingerprint"] != rows[2]["token_fingerprint"]

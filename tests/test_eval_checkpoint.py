@@ -1,0 +1,78 @@
+"""Evaluation metrics + checkpoint/resume behavior."""
+
+import json
+import os
+
+import pytest
+
+from name_matching_spark.datagen import labeled_pairs, person_records
+from name_matching_spark.operators.blocking import BlockingConfig
+from name_matching_spark.operators.evaluation import pairwise_metrics
+from name_matching_spark.operators.normalize import LinkageSchema
+from name_matching_spark.operators.score_pairs import MatcherConfig
+from name_matching_spark.plans.checkpoint import CheckpointedLinkage
+from name_matching_spark.plans.linkage import dedup_table
+
+SCHEMA = LinkageSchema(id_col="record_id")
+
+
+def test_metrics_counts(spark):
+    scored = spark.createDataFrame(
+        [("a", "b", 0.9), ("a", "c", 0.8), ("b", "c", 0.2), ("c", "d", 0.9)],
+        ["id1", "id2", "score"],
+    )
+    labeled = spark.createDataFrame(
+        [("a", "b", "match"), ("a", "c", "non-match"), ("b", "c", "match"),
+         ("c", "d", "match"), ("d", "e", "match")],
+        ["id1", "id2", "true_label"],
+    )
+    m = pairwise_metrics(scored, labeled, match_threshold=0.75)
+    # restricted to blocked pairs: (d,e) excluded
+    assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (2, 1, 1, 0)
+    assert m["precision"] == pytest.approx(2 / 3)
+    assert m["recall"] == pytest.approx(2 / 3)
+
+    m2 = pairwise_metrics(scored, labeled, match_threshold=0.75, restrict_to_blocked=False)
+    assert m2["fn"] == 2  # (d,e) now counts as a miss
+
+
+def test_f1_gate_on_synthetic_corpus(spark):
+    """The BASELINE gate: pairwise F1 >= 0.99 on labeled pairs at shared
+    blocking keys, default thresholds."""
+    recs = person_records(n_entities=120, dup_rate=0.5, seed=21)
+    df = spark.createDataFrame(recs.drop(columns=["entity_id"]))
+    scored = dedup_table(df, SCHEMA, keep_non_match=True)
+    labeled = spark.createDataFrame(labeled_pairs(recs))
+    m = pairwise_metrics(scored, labeled)
+    assert m["f1"] >= 0.99, m
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    recs = person_records(n_entities=50, dup_rate=0.5, seed=31)
+    df = spark.createDataFrame(recs.drop(columns=["entity_id"]))
+    out = str(tmp_path / "ckpt")
+
+    runner = CheckpointedLinkage(out, num_ranges=4, schema=SCHEMA)
+    executed = runner.run(df)
+    assert sorted(executed) == [0, 1, 2, 3]
+
+    # every range has a manifest with counters
+    for i in range(4):
+        with open(os.path.join(out, "_manifest", f"range_{i}.json")) as f:
+            m = json.load(f)
+        assert m["status"] == "complete"
+        assert "rows_written" in m["counters"]
+
+    # resume: nothing left to do
+    assert runner.run(df) == []
+
+    # simulate a crashed range: delete one manifest -> only that range reruns
+    os.remove(os.path.join(out, "_manifest", "range_2.json"))
+    assert runner.run(df) == [2]
+
+    # checkpointed union == single-shot plan
+    single = dedup_table(df, SCHEMA).select("id1", "id2", "score")
+    chk = runner.results(spark).select("id1", "id2", "score")
+    a = {(r["id1"], r["id2"], round(r["score"], 9)) for r in single.collect()}
+    b = {(r["id1"], r["id2"], round(r["score"], 9)) for r in chk.collect()}
+    assert a == b

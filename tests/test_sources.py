@@ -1,0 +1,57 @@
+"""Ingest: CSV column mapping + validation split + sinks."""
+
+import pytest
+
+from name_matching_spark.sources.readers import (
+    IngestSpec,
+    read_csv_mapped,
+    validate_records,
+)
+from name_matching_spark.sources.sinks import write_match_results
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "Name,Surname,DOB\n"
+        "Juan,Cruz Santos,1990-01-01\n"
+        "Maria,Reyes Garcia,05/15/1985\n"
+        ",Empty First,1990-01-01\n"
+        "Pedro,Dela Cruz,not-a-date\n"
+    )
+    return str(p)
+
+
+def test_read_mapped_and_validate(spark, csv_path):
+    spec = IngestSpec(
+        column_mapping={
+            "Name": "first_name",
+            "Surname": "middle_name_last_name",
+            "DOB": "birthdate",
+        }
+    )
+    df = read_csv_mapped(spark, csv_path, spec)
+    assert {"first_name", "middle_name_last_name", "birthdate"} <= set(df.columns)
+
+    valid, invalid = validate_records(df)
+    assert valid.count() == 2
+    bad = {r["first_name"]: r["_violations"] for r in invalid.collect()}
+    assert bad[None] == ["first_name"]
+    assert bad["Pedro"] == ["birthdate"]
+
+
+def test_missing_required_raises(spark, csv_path):
+    with pytest.raises(ValueError, match="missing required"):
+        read_csv_mapped(spark, csv_path, IngestSpec(column_mapping={}))
+
+
+def test_write_match_results_dedups(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "b", 0.9), ("a", "b", 0.9), ("a", "c", 0.8)],
+        ["id1", "id2", "score"],
+    )
+    out = str(tmp_path / "matches")
+    write_match_results(df, out, mode="overwrite")
+    back = spark.read.parquet(out)
+    assert back.count() == 2
