@@ -129,18 +129,13 @@ def _batch_jaro_raw(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         matched1[:, i] = found
         m += found
 
-    # transpositions: compare the k-th matched char of s1 with the k-th
-    # matched char of s2
-    r1 = np.cumsum(matched1, axis=1)
-    r2 = np.cumsum(matched2, axis=1)
-    t = np.zeros(n, dtype=np.int64)
-    max_m = int(m.max()) if n else 0
-    A64 = A.astype(np.int64) + 1
-    B64 = B.astype(np.int64) + 1
-    for k in range(1, max_m + 1):
-        a_char = np.where(matched1 & (r1 == k), A64, 0).sum(axis=1)
-        b_char = np.where(matched2 & (r2 == k), B64, 0).sum(axis=1)
-        t += ((a_char != b_char) & (k <= m)).astype(np.int64)
+    # transpositions: both sides have exactly m matched positions per row;
+    # row-major boolean indexing flattens them in position order, so the two
+    # flat char streams align segment-wise — one O(total_matches) pass
+    flat_a = A[matched1]
+    flat_b = B[matched2]
+    row_of = np.repeat(np.arange(n), m)
+    t = np.bincount(row_of, weights=(flat_a != flat_b), minlength=n).astype(np.int64)
     t //= 2
 
     both_empty = (len1 == 0) & (len2 == 0)

@@ -111,3 +111,32 @@ def test_top_k_limit(spark, records):
     df = spark.createDataFrame(records.drop(columns=["entity_id"]))
     out = dedup_table(df, SCHEMA, top_k=1).toPandas()
     assert out.groupby("id1").size().max() <= 1
+
+
+def test_pluggable_base_similarity_dl(spark, records):
+    """The base-component-similarity slot (src/name_matcher.py:73,97):
+    damerau_levenshtein base must match the oracle with the same plug."""
+    import pytest as _pytest
+
+    from name_matching_spark.core import damerau_levenshtein_similarity
+    from tests.oracle_pipeline import blocked_pairs, score_pair
+
+    sub = records.iloc[:40]
+    df = spark.createDataFrame(sub.drop(columns=["entity_id"]))
+    out = dedup_table(
+        df, SCHEMA, matcher=MatcherConfig(base_similarity="damerau_levenshtein"),
+        keep_non_match=True,
+    ).toPandas()
+
+    by_id = {r["record_id"]: r for r in sub.to_dict("records")}
+    want = {}
+    for id1, id2 in blocked_pairs(sub.to_dict("records")):
+        score, cls, _ = score_pair(
+            by_id[id1], by_id[id2], base_similarity=damerau_levenshtein_similarity
+        )
+        want[(id1, id2)] = (score, cls)
+    got = {(r.id1, r.id2): (r.score, r.classification) for r in out.itertuples()}
+    assert set(got) == set(want)
+    for k, (s, c) in want.items():
+        assert got[k][0] == _pytest.approx(s, abs=1e-9), k
+        assert got[k][1] == c, k
