@@ -429,6 +429,41 @@ def q25_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q26_embedding_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup-suite scale path baseline)."""
+    from name_matching_spark.operators.similarity_search import cosine_near_dupes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_near_dupes(emb, threshold=0.3)
+    return out.select("id1", "id2", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+def q27_affix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3/N4: honorific/suffix stripping as JVM column expressions."""
+    from name_matching_spark.functions.columns import (
+        strip_name_prefixes,
+        strip_name_suffixes,
+    )
+
+    person = _person_df(spark, sf_dir)
+    decorated = person.select(
+        "record_id",
+        F.expr(
+            "CASE record_id % 5 WHEN 0 THEN 'Mr ' || first_name "
+            "WHEN 1 THEN 'Dr. ' || first_name "
+            "WHEN 2 THEN first_name || ' Jr' "
+            "WHEN 3 THEN first_name || ',' "
+            "ELSE first_name END"
+        ).alias("decorated"),
+    )
+    return decorated.select(
+        "record_id",
+        "decorated",
+        strip_name_prefixes(F.col("decorated")).alias("no_prefix"),
+        strip_name_suffixes(F.col("decorated")).alias("no_suffix"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -461,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_fingerprint": q23_fingerprint,
         "q24_ann_topk": q24_ann_topk,
         "q25_ann_lsh": q25_ann_lsh,
+        "q26_embedding_dupes": q26_embedding_dupes,
+        "q27_affix_strip": q27_affix_strip,
     }
 
 
@@ -686,5 +723,40 @@ def oracle_sql() -> dict[str, str]:
                   FROM r)
             SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
             FROM w WHERE rank <= 3
+        """,
+        "q26_embedding_dupes": """
+            WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+                    list_sum(list_transform(range(1, len(x.v) + 1), k -> x.v[k] * y.v[k])) AS dot,
+                    sqrt(list_sum(list_transform(range(1, len(x.v) + 1), k -> x.v[k] * x.v[k]))) AS n1,
+                    sqrt(list_sum(list_transform(range(1, len(y.v) + 1), k -> y.v[k] * y.v[k]))) AS n2
+                  FROM a x, a y WHERE x.vec_id < y.vec_id),
+            c AS (SELECT id1, id2,
+                    CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0 ELSE dot / (n1 * n2) END AS cosine
+                  FROM s)
+            SELECT id1, id2, round(cosine, 6) AS cosine FROM c WHERE cosine >= 0.3
+        """,
+        "q27_affix_strip": _PERSON_CTE + """,
+            d AS (SELECT record_id,
+                CASE record_id % 5 WHEN 0 THEN 'Mr ' || first_name
+                     WHEN 1 THEN 'Dr. ' || first_name
+                     WHEN 2 THEN first_name || ' Jr'
+                     WHEN 3 THEN first_name || ','
+                     ELSE first_name END AS decorated
+              FROM person)
+            SELECT record_id, decorated,
+              CASE WHEN regexp_replace(decorated,
+                     '(?i)^(?:mr|mrs|ms|miss|dr|prof|rev|hon|atty)\\.?\\s+', '') <> decorated
+                   THEN trim(regexp_replace(decorated,
+                     '(?i)^(?:mr|mrs|ms|miss|dr|prof|rev|hon|atty)\\.?\\s+', ''))
+                   ELSE decorated END AS no_prefix,
+              CASE WHEN regexp_replace(decorated,
+                     '(?i)\\s(?:jr|sr|ii|iii|iv|v|vi|vii|viii|ix|x|phd|md|esq)\\.?$', '') <> decorated
+                   THEN trim(regexp_replace(decorated,
+                     '(?i)\\s(?:jr|sr|ii|iii|iv|v|vi|vii|viii|ix|x|phd|md|esq)\\.?$', ''))
+                   WHEN decorated LIKE '%,'
+                   THEN trim(substr(decorated, 1, length(decorated) - 1))
+                   ELSE decorated END AS no_suffix
+            FROM d
         """,
     }

@@ -68,6 +68,27 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dupes(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all unordered pairs with
+    cosine >= threshold. Exact form (crossJoin + filter) — the correctness
+    baseline; at corpus scale route through
+    :func:`hyperplane_lsh_buckets` first and rerank within buckets."""
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cosine_similarity_col(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def _seeded_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()

@@ -1,0 +1,73 @@
+"""Column-expression helpers == scalar oracle (affixes, Jaccard, soundex)."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from name_matching_spark.core import (
+    jaccard_similarity,
+    remove_name_prefixes,
+    remove_name_suffixes,
+    soundex_similarity,
+)
+from name_matching_spark.functions.columns import (
+    soundex_equal,
+    strip_name_prefixes,
+    strip_name_suffixes,
+    token_set_jaccard,
+)
+
+AFFIX_PIECES = [
+    "Mr", "mr.", "MRS", "Dr.", "Atty", "Juan", "Cruz", "Santos,", "Jr",
+    "iii", "PhD", "x", "v", "", "miss", "esq.",
+]
+name_strings = st.lists(st.sampled_from(AFFIX_PIECES), max_size=4).map(" ".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(name_strings, min_size=1, max_size=30))
+def test_affix_strip_matches_oracle(spark, strs):
+    df = spark.createDataFrame([(s,) for s in strs], ["name"])
+    rows = df.select(
+        "name",
+        strip_name_prefixes(F.col("name")).alias("p"),
+        strip_name_suffixes(F.col("name")).alias("s"),
+    ).collect()
+    for r in rows:
+        assert r["p"] == remove_name_prefixes(r["name"]), r["name"]
+        assert r["s"] == remove_name_suffixes(r["name"]), r["name"]
+
+
+def test_affix_golden(spark):
+    df = spark.createDataFrame(
+        [("Mr Juan Cruz",), ("Dr. Maria Santos",), ("Juan Cruz Jr",),
+         ("Juan Cruz,",), ("Plain Name",)],
+        ["name"],
+    )
+    rows = {r["name"]: r for r in df.select(
+        "name",
+        strip_name_prefixes(F.col("name")).alias("p"),
+        strip_name_suffixes(F.col("name")).alias("s"),
+    ).collect()}
+    assert rows["Mr Juan Cruz"]["p"] == "Juan Cruz"
+    assert rows["Dr. Maria Santos"]["p"] == "Maria Santos"
+    assert rows["Juan Cruz Jr"]["s"] == "Juan Cruz"
+    assert rows["Juan Cruz,"]["s"] == "Juan Cruz"
+    assert rows["Plain Name"]["s"] == "Plain Name"
+
+
+def test_token_set_jaccard(spark):
+    df = spark.createDataFrame(
+        [("Juan Cruz", "Juan Santos"), ("", ""), ("a", ""), ("Juan  Cruz", "cruz JUAN")],
+        ["a", "b"],
+    )
+    rows = df.select("a", "b", token_set_jaccard(F.col("a"), F.col("b")).alias("j")).collect()
+    for r in rows:
+        assert r["j"] == pytest.approx(jaccard_similarity(r["a"], r["b"])), (r["a"], r["b"])
+
+
+def test_soundex_equal(spark):
+    df = spark.createDataFrame([("Robert", "Rupert"), ("Robert", "Santos")], ["a", "b"])
+    rows = df.select("a", "b", soundex_equal(F.col("a"), F.col("b")).alias("s")).collect()
+    for r in rows:
+        assert r["s"] == soundex_similarity(r["a"], r["b"])
