@@ -210,13 +210,43 @@ def _batch_dl_raw(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     out = np.zeros(n, dtype=np.int64)
     if n == 0:
         return out
-    max_l1 = max((len(s) for s in a), default=0)
-    max_l2 = max((len(s) for s in b), default=0)
-    cells = (max_l1 + 2) * (max_l2 + 2)
-    chunk = max(1, _DL_CELL_BUDGET // max(cells, 1))
-    for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        out[lo:hi] = _dl_distance_chunk(a[lo:hi], b[lo:hi])
+    len1 = np.fromiter((len(s) for s in a), dtype=np.int64, count=n)
+    len2 = np.fromiter((len(s) for s in b), dtype=np.int64, count=n)
+    pair_max = np.maximum(np.maximum(len1, len2), 1)
+    # homogeneous lengths (the common case for name tokens): plain
+    # budget-bounded chunking, no reorder overhead
+    if int(pair_max.max()) <= 2 * int(np.median(pair_max)):
+        cells = (int(len1.max()) + 2) * (int(len2.max()) + 2)
+        chunk = max(1, _DL_CELL_BUDGET // max(cells, 1))
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            out[lo:hi] = _dl_distance_chunk(a[lo:hi], b[lo:hi])
+        return out
+
+    # heterogeneous: length-sort so each chunk's DP tensor is sized by ITS
+    # max lengths, not the global max — a handful of long strings no longer
+    # inflates every chunk's (L1 x L2) sweep
+    order = np.argsort(pair_max, kind="stable")
+    a_s, b_s = a[order], b[order]
+    l1_s, l2_s = len1[order], len2[order]
+
+    res = np.zeros(n, dtype=np.int64)
+    lo = 0
+    while lo < n:
+        # grow the chunk while its cell volume stays inside the budget
+        hi = lo
+        max1 = max2 = 1
+        while hi < n:
+            c1 = max(max1, int(l1_s[hi]))
+            c2 = max(max2, int(l2_s[hi]))
+            if (hi - lo + 1) * (c1 + 2) * (c2 + 2) > _DL_CELL_BUDGET and hi > lo:
+                break
+            max1, max2 = c1, c2
+            hi += 1
+        res[lo:hi] = _dl_distance_chunk(a_s[lo:hi], b_s[lo:hi])
+        lo = hi
+
+    out[order] = res
     return out
 
 

@@ -1,0 +1,56 @@
+"""Physical-plan regression guards: properties that silently cost 4x when
+they rot (observed during round-1 profiling)."""
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from name_matching_spark.datagen import person_records
+from name_matching_spark.operators.normalize import LinkageSchema
+from name_matching_spark.plans.linkage import dedup_table
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _node_count(plan: str, node: str) -> int:
+    """Distinct plan-node ids for a node type ("formatted" mode prints each
+    node in both the tree and the details section)."""
+    return len(set(re.findall(rf"\((\d+)\) {node}", plan)))
+
+
+def test_scoring_udf_evaluates_once(spark):
+    """CollapseProject inlines one _cs reference per consumer unless the
+    fused UDF is nondeterministic — this plan once contained 4
+    ArrowEvalPython nodes (4x the scoring cost)."""
+    recs = person_records(n_entities=30, seed=2)
+    df = spark.createDataFrame(recs.drop(columns=["entity_id"]))
+    out = dedup_table(df, LinkageSchema(id_col="record_id"), keep_non_match=True)
+    plan = _formatted_plan(out)
+    assert _node_count(plan, "ArrowEvalPython") == 1, plan
+
+
+def test_normalize_not_recomputed_per_join_arm(spark):
+    """The keyed frame is localCheckpoint'd before the self-join: the pair
+    plan must not re-scan the source per consumer (was: 24 scans)."""
+    recs = person_records(n_entities=30, seed=2)
+    df = spark.createDataFrame(recs.drop(columns=["entity_id"]))
+    out = dedup_table(df, LinkageSchema(id_col="record_id"), keep_non_match=True)
+    plan = _formatted_plan(out)
+    # the only scans below the checkpoint are ExistingRDD reads
+    assert _node_count(plan, "Scan parquet") == 0
+    assert _node_count(plan, "ArrowEvalPython") <= 1
+
+
+def test_hot_census_is_broadcast(spark):
+    recs = person_records(n_entities=30, seed=2)
+    df = spark.createDataFrame(recs.drop(columns=["entity_id"]))
+    out = dedup_table(df, LinkageSchema(id_col="record_id"), keep_non_match=True)
+    plan = _formatted_plan(out)
+    assert "BroadcastHashJoin" in plan
