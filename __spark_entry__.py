@@ -368,8 +368,9 @@ def q19_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q20_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only; oracle-free — 64-bit hex->signed
-    reinterpretation is pinned by tests/test_dedup_text.py)."""
+    """SimHash near-dup pairs. The chunk-pigeonhole candidate generation is
+    complete for hamming < n_chunks, so the output equals the brute-force
+    <=max_hamming pair set — which the DuckDB oracle computes directly."""
     from name_matching_spark.operators.dedup import simhash_near_dupes
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -652,6 +653,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, h,
                    min(substr(md5(CAST(h AS STRING) || '|' || shingle), 1, 16)) AS minhash
             FROM sh, hs GROUP BY 1, 2
+        """,
+        "q20_simhash_dupes": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, t.token
+                FROM documents,
+                     LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS t(token)
+                WHERE t.token <> ''),
+            th AS (SELECT doc_id,
+                          ('0x' || substr(md5(token), 1, 16))::UBIGINT AS u
+                   FROM toks),
+            bits AS (SELECT unnest(range(0, 64)) AS b),
+            votes AS (SELECT doc_id, b,
+                             sum(CASE WHEN (u >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                      FROM th, bits GROUP BY 1, 2),
+            sig0 AS (SELECT doc_id,
+                            sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS s
+                     FROM votes GROUP BY 1),
+            sig AS (SELECT doc_id,
+                           CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                                     THEN s - 18446744073709551616::HUGEINT
+                                     ELSE s END AS BIGINT) AS sh
+                    FROM sig0),
+            p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                         bit_count(xor(a.sh, b.sh)) AS hamming
+                  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+            SELECT id1, id2, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 6
         """,
         "q21_quality": """
             SELECT doc_id,
