@@ -140,6 +140,7 @@ def match_records(
     middle_last2: str,
     birthdate1: str | None = None,
     birthdate2: str | None = None,
+    compare_birthdate: bool | None = None,
     geo1: dict[str, str] | None = None,
     geo2: dict[str, str] | None = None,
     base_similarity: Callable[[str, str], float] = jaro_winkler_similarity,
@@ -157,6 +158,16 @@ def match_records(
     ``name_matcher.py:207-209``) and geography (mean of JW over standardized
     geo fields present on BOTH sides, ``name_matcher.py:211-221``) ->
     overall blend -> classification.
+
+    Birthdate presence has two valid conventions:
+
+    - ``compare_birthdate=None`` (default): the reference's value-level rule
+      (``name_matcher.py:206-209``) — the field participates only when both
+      values are non-None.
+    - ``compare_birthdate=True``: the pipeline's config-level rule — the
+      field always participates, with NULL==NULL scoring 1.0 (the
+      ``eqNullSafe`` semantics of ``operators/score_pairs``). Use this when
+      oracling ``dedup_table``/``link_tables`` output.
     """
     c1 = standardize_name_components(parse_name(first1, middle_last1))
     c2 = standardize_name_components(parse_name(first2, middle_last2))
@@ -181,7 +192,9 @@ def match_records(
     name_score = score_name_match(component_scores, name_weights)
 
     additional_scores: dict[str, float] = {}
-    if birthdate1 is not None and birthdate2 is not None:
+    if compare_birthdate:
+        additional_scores["birthdate"] = 1.0 if birthdate1 == birthdate2 else 0.0
+    elif compare_birthdate is None and birthdate1 is not None and birthdate2 is not None:
         additional_scores["birthdate"] = 1.0 if birthdate1 == birthdate2 else 0.0
     if geo1 is not None and geo2 is not None:
         geo_scores = [

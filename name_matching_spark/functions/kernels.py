@@ -102,9 +102,12 @@ def batch_jaro(s1, s2) -> np.ndarray:
     return _batch_jaro_raw(a, b)
 
 
-def _batch_jaro_raw(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    A, len1 = _encode(a, _PAD_A)
-    B, len2 = _encode(b, _PAD_B)
+def _batch_jaro_raw(a: np.ndarray, b: np.ndarray, encoded=None) -> np.ndarray:
+    if encoded is None:
+        A, len1 = _encode(a, _PAD_A)
+        B, len2 = _encode(b, _PAD_B)
+    else:
+        A, len1, B, len2 = encoded
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.float64)
@@ -167,7 +170,9 @@ def _batch_jw_raw(a: np.ndarray, b: np.ndarray, prefix_weight: float = 0.1) -> n
     A, len1 = _encode(a, _PAD_A)
     B, len2 = _encode(b, _PAD_B)
 
-    jaro = _batch_jaro_raw(a, b)
+    # reuse this encode pass for the jaro core (encoding is the dominant
+    # per-batch prep for short name tokens)
+    jaro = _batch_jaro_raw(a, b, encoded=(A, len1, B, len2))
 
     plen = np.zeros(n, dtype=np.int64)
     alive = np.ones(n, dtype=bool)
@@ -372,9 +377,7 @@ def batch_monge_elkan(tokens1, tokens2, kernel) -> np.ndarray:
 
     # segment reduce: max over tokens2 within each (row, token1) group, then
     # mean over token1 groups within each row
-    active = t1_counts > 0
-    pair_counts = t1_counts * t2_counts  # pairs per active row (t2 may be 0)
-    has_pairs = active & (t2_counts > 0)
+    has_pairs = (t1_counts > 0) & (t2_counts > 0)
     # group starts for (row, t1) segments, rows in emission order
     seg_sizes = np.repeat(t2_counts[has_pairs], t1_counts[has_pairs])
     seg_starts = np.zeros(len(seg_sizes), dtype=np.int64)

@@ -177,10 +177,22 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     sig = minhash_signatures(df, num_hashes, shingle_len, text_col, id_col)
+    # the band signature must be the h-ORDERED vector of minhashes (sorting
+    # by value would make it a multiset and create spurious collisions
+    # between bands that agree on no hash function); collect_list order is
+    # nondeterministic, so sort the (h, minhash) structs by h
     banded = (
         sig.withColumn("band", (F.col("h") / (num_hashes // bands)).cast("int"))
         .groupBy(id_col, "band")
-        .agg(F.concat_ws(",", F.array_sort(F.collect_list("minhash"))).alias("band_sig"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+                ",",
+            ).alias("band_sig")
+        )
     )
     a = banded.select(F.col(id_col).alias("id1"), "band", "band_sig")
     b = banded.select(F.col(id_col).alias("id2"), "band", "band_sig")

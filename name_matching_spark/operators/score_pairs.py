@@ -77,6 +77,17 @@ def score_pairs(pairs: DataFrame, config: MatcherConfig | None = None) -> DataFr
     """
     config = config or MatcherConfig()
     geo_count = len(config.geo_fields)
+    # the Spark path scores the fixed component set of the fused UDF; the
+    # scalar oracle would treat unknown weighted components as 0.0, but
+    # silently diverging is worse than refusing
+    known = {"first_name", "middle_name", "last_name", "full_name_sorted",
+             "monge_elkan_dl", "monge_elkan_jw"}
+    unknown = [k for k in config.name_weights if k not in known]
+    if unknown:
+        raise ValueError(
+            f"name_weights components {unknown} are not produced by the "
+            f"scoring UDF (available: {sorted(known)})"
+        )
     udf = make_component_scores_udf(config.base_similarity, geo_count)
 
     struct_fields = ["first_std", "middle_std", "last_std", "full_std", "sorted_full"] + [

@@ -61,17 +61,32 @@ class CheckpointedLinkage:
         return os.path.join(self.output_dir, "_manifest", f"range_{i}.json")
 
     def completed_ranges(self) -> set[int]:
+        """Ranges with a complete manifest MATCHING the current config.
+
+        A manifest written under a different configuration (thresholds,
+        blocking passes, num_ranges, ...) must not be silently reused — the
+        range->key mapping or scores would differ — so a fingerprint
+        mismatch raises instead of mixing results.
+        """
         out = set()
+        fingerprint = self._config_fingerprint()
         mdir = os.path.join(self.output_dir, "_manifest")
         for name in os.listdir(mdir):
             if name.startswith("range_") and name.endswith(".json"):
                 try:
                     with open(os.path.join(mdir, name)) as f:
                         m = json.load(f)
-                    if m.get("status") == "complete":
-                        out.add(int(m["range"]))
                 except (ValueError, json.JSONDecodeError):
                     continue
+                if m.get("status") != "complete":
+                    continue
+                if m.get("config") != fingerprint:
+                    raise ValueError(
+                        f"checkpoint manifest {name} was written under a "
+                        "different configuration; use a fresh output_dir or "
+                        "delete the stale manifests to recompute"
+                    )
+                out.add(int(m["range"]))
         return out
 
     def _config_fingerprint(self) -> dict:
@@ -114,7 +129,6 @@ class CheckpointedLinkage:
         self, work: DataFrame, payload_cols: list[str], i: int, keep_non_match: bool
     ) -> None:
         range_frames = []
-        counters = {"pairs_generated": 0}
         for p in self.blocking.passes:
             keyed = work.withColumn("block_key", blocking_key_column(p))
             keyed = keyed.filter(

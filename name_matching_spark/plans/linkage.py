@@ -35,7 +35,25 @@ __all__ = ["dedup_table", "link_tables", "prepare_linkage_frame"]
 def prepare_linkage_frame(
     df: DataFrame, schema: LinkageSchema | None, matcher: MatcherConfig
 ) -> DataFrame:
-    """normalize + project to (record_id, scoring payload, blocking inputs)."""
+    """normalize + project to (record_id, scoring payload, blocking inputs).
+
+    The schema (which input columns exist) and the matcher (which fields are
+    scored) encode overlapping facts — validate them against each other up
+    front so misalignment fails with a clear message instead of an
+    UNRESOLVED_COLUMN AnalysisException deep inside the pair join.
+    """
+    schema = schema or LinkageSchema()
+    if matcher.use_birthdate and not schema.birthdate:
+        raise ValueError(
+            "matcher.use_birthdate=True but schema.birthdate is None — "
+            "set LinkageSchema(birthdate=...) or MatcherConfig(use_birthdate=False)"
+        )
+    missing_geo = [g for g in matcher.geo_fields if g not in schema.geo_fields]
+    if missing_geo:
+        raise ValueError(
+            f"matcher.geo_fields {missing_geo} not in schema.geo_fields "
+            f"{schema.geo_fields} — align the two configs"
+        )
     norm = normalize_records(df, schema)
     return norm.select(
         F.col("record_id"),

@@ -11,7 +11,6 @@ from __future__ import annotations
 from datetime import datetime
 
 from name_matching_spark.core import (
-    classify_match,
     match_records,
     parse_name,
     soundex,
@@ -58,31 +57,19 @@ def blocked_pairs(records: list[dict], key_fn=record_key_phonetic) -> set[tuple[
 
 def score_pair(r1: dict, r2: dict, geo_fields=("province_name", "city_name"),
                use_birthdate=True, **cfg):
-    """Oracle score for one ordered pair (r1 = smaller id side)."""
+    """Oracle score for one ordered pair (r1 = smaller id side), using the
+    pipeline's config-level birthdate convention (NULL==NULL -> 1.0)."""
     geo1 = {g: r1.get(g) or "" for g in geo_fields} if geo_fields else None
     geo2 = {g: r2.get(g) or "" for g in geo_fields} if geo_fields else None
     b1 = standardize_date(r1.get("birthdate")) if use_birthdate else None
     b2 = standardize_date(r2.get("birthdate")) if use_birthdate else None
 
-    overall, cls, comps = match_records(
+    return match_records(
         r1["first_name"], r1["middle_name_last_name"],
         r2["first_name"], r2["middle_name_last_name"],
-        birthdate1=b1, birthdate2=b2, geo1=geo1, geo2=geo2, **cfg,
+        birthdate1=b1, birthdate2=b2, compare_birthdate=use_birthdate or None,
+        geo1=geo1, geo2=geo2, **cfg,
     )
-    # match_records treats birthdate as present when both args non-None;
-    # the pipeline treats it as configured-present with NULL==NULL -> 1.0.
-    # Reproduce the pipeline contract here when both dates are unparseable:
-    if use_birthdate and b1 is None and b2 is None:
-        comps["birthdate"] = 1.0
-        name_w = 1.0 - 0.6
-        overall = comps["name_score"] * name_w + comps["birthdate"] * 0.3 + comps.get("geography", 0.0) * 0.3
-        cls = classify_match(overall)
-    elif use_birthdate and (b1 is None) != (b2 is None):
-        comps["birthdate"] = 0.0
-        name_w = 1.0 - 0.6
-        overall = comps["name_score"] * name_w + comps.get("geography", 0.0) * 0.3
-        cls = classify_match(overall)
-    return overall, cls, comps
 
 
 def run_pipeline(records: list[dict], keep_non_match: bool = False):

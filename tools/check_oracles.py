@@ -23,9 +23,6 @@ def norm_cell(v):
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        # normalize -0.0 and integral floats
-        if v == int(v) and abs(v) < 1e15:
-            return f"{v:.6f}"
         return f"{v:.6f}"
     if isinstance(v, bool):
         return str(int(v))
