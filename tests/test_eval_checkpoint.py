@@ -76,3 +76,24 @@ def test_checkpoint_resume(spark, tmp_path):
     a = {(r["id1"], r["id2"], round(r["score"], 9)) for r in single.collect()}
     b = {(r["id1"], r["id2"], round(r["score"], 9)) for r in chk.collect()}
     assert a == b
+
+
+def test_checkpoint_config_mismatch_refuses(spark, tmp_path):
+    """Resume under a changed configuration must raise, not mix results."""
+    from name_matching_spark.operators.score_pairs import MatcherConfig
+
+    recs = person_records(n_entities=20, dup_rate=0.5, seed=41)
+    df = spark.createDataFrame(recs.drop(columns=["entity_id"]))
+    out = str(tmp_path / "ckpt_cfg")
+
+    CheckpointedLinkage(out, num_ranges=2, schema=SCHEMA).run(df)
+
+    changed = CheckpointedLinkage(
+        out, num_ranges=2, schema=SCHEMA,
+        matcher=MatcherConfig(match_threshold=0.9),
+    )
+    with pytest.raises(ValueError, match="different configuration"):
+        changed.run(df)
+
+    # unchanged config still resumes cleanly
+    assert CheckpointedLinkage(out, num_ranges=2, schema=SCHEMA).run(df) == []
