@@ -773,14 +773,14 @@ def oracle_sql() -> dict[str, str]:
               FROM person)
             SELECT record_id, decorated,
               CASE WHEN regexp_replace(decorated,
-                     '(?i)^(?:mr|mrs|ms|miss|dr|prof|rev|hon|atty)\\.?\\s+', '') <> decorated
+                     '(?i)^(?:(?:mr|mrs|ms|dr|prof|rev|hon|atty)\\.?|miss) ', '') <> decorated
                    THEN trim(regexp_replace(decorated,
-                     '(?i)^(?:mr|mrs|ms|miss|dr|prof|rev|hon|atty)\\.?\\s+', ''))
+                     '(?i)^(?:(?:mr|mrs|ms|dr|prof|rev|hon|atty)\\.?|miss) ', ''))
                    ELSE decorated END AS no_prefix,
               CASE WHEN regexp_replace(decorated,
-                     '(?i)\\s(?:jr|sr|ii|iii|iv|v|vi|vii|viii|ix|x|phd|md|esq)\\.?$', '') <> decorated
+                     '(?i) (?:(?:jr|sr|esq)\\.?|ii|iii|iv|v|vi|vii|viii|ix|x|phd|md)$', '') <> decorated
                    THEN trim(regexp_replace(decorated,
-                     '(?i)\\s(?:jr|sr|ii|iii|iv|v|vi|vii|viii|ix|x|phd|md|esq)\\.?$', ''))
+                     '(?i) (?:(?:jr|sr|esq)\\.?|ii|iii|iv|v|vi|vii|viii|ix|x|phd|md)$', ''))
                    WHEN decorated LIKE '%,'
                    THEN trim(substr(decorated, 1, length(decorated) - 1))
                    ELSE decorated END AS no_suffix

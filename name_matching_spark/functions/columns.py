@@ -22,15 +22,20 @@ __all__ = [
     "SUFFIX_RE",
 ]
 
-# one leading honorific + following whitespace; rest keeps its case; the
-# reference then strip()s residual whitespace (src/standardizer.py:78-82)
-PREFIX_RE = r"(?i)^(?:mr|mrs|ms|miss|dr|prof|rev|hon|atty)\.?\s+"
+# one leading honorific + following space; rest keeps its case; the
+# reference then strip()s residual whitespace (src/standardizer.py:78-82).
+# Dotted variants exist ONLY where the reference lists them ("mr." yes,
+# "miss." no — src/standardizer.py:73-76); a single literal space follows,
+# matching the startswith(prefix + " ") check exactly.
+PREFIX_RE = r"(?i)^(?:(?:mr|mrs|ms|dr|prof|rev|hon|atty)\.?|miss) "
 
-# one trailing generational/degree suffix preceded by whitespace ($-anchored,
-# so overlapping alternatives like ii/iii resolve identically to the
-# reference's endswith scan); the dead ", suffix" branch of the reference is
-# subsumed because ", x" ends with " x"
-SUFFIX_RE = r"(?i)\s(?:jr|sr|ii|iii|iv|v|vi|vii|viii|ix|x|phd|md|esq)\.?$"
+# one trailing generational/degree suffix preceded by a literal space
+# ($-anchored, so overlapping alternatives like ii/iii resolve identically
+# to the reference's endswith scan); dotted variants only for jr/sr/esq
+# (src/standardizer.py:97-100 — no "ii."…"x.", "phd.", "md."); the dead
+# ", suffix" branch of the reference is subsumed because ", x" ends
+# with " x"
+SUFFIX_RE = r"(?i) (?:(?:jr|sr|esq)\.?|ii|iii|iv|v|vi|vii|viii|ix|x|phd|md)$"
 
 
 def strip_name_prefixes(col: Column) -> Column:

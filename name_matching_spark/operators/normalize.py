@@ -83,10 +83,17 @@ def normalize_records(df: DataFrame, schema: LinkageSchema | None = None) -> Dat
         F.nullif(F.col("last_std"), F.lit("")),
     )
     out = out.withColumn("full_std", full)
+    # Python str.split() (the scalar oracle's tokenizer) drops empty tokens;
+    # standardization can leave interior double spaces (e.g. "cruz & santos"
+    # -> "cruz  santos"), so F.split would emit "" elements that array_sort
+    # places first, corrupting both the similarity key and the token_sorted
+    # blocking key. Filter empties before sorting. (NB: keep the lambda
+    # single-arg — a second param receives the element index.)
+    tokens = F.filter(F.split(F.col("full_std"), " "), lambda x: x != F.lit(""))
     out = out.withColumn(
         "sorted_full",
         F.when(F.col("full_std") == "", F.lit("")).otherwise(
-            F.array_join(F.array_sort(F.split(F.col("full_std"), " ")), " ")
+            F.array_join(F.array_sort(tokens), " ")
         ),
     )
     return out

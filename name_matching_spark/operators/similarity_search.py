@@ -17,8 +17,10 @@ from pyspark.sql.window import Window
 __all__ = [
     "cosine_similarity_col",
     "brute_force_topk",
+    "cosine_near_dupes",
     "hyperplane_lsh_buckets",
     "lsh_topk",
+    "lsh_near_dupes",
 ]
 
 
@@ -110,6 +112,81 @@ def hyperplane_lsh_buckets(
         proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("bigint")).otherwise(0)
     return df.withColumn("bucket", bucket)
+
+
+def _band_signatures(
+    df: DataFrame,
+    dim: int,
+    n_bands: int,
+    band_planes: int,
+    seed: int,
+    vec_col: str,
+) -> DataFrame:
+    """Attach ``band`` / ``band_sig`` rows (one per band) via a posexploded
+    array of per-band sign signatures. ``n_bands * band_planes`` seeded
+    planes are sliced band-wise; band k's signature packs its ``band_planes``
+    sign bits into an int."""
+    planes = _seeded_planes(dim, n_bands * band_planes, seed)
+    sigs = []
+    for bnd in range(n_bands):
+        sig = F.lit(0)
+        for p in range(band_planes):
+            plane = planes[bnd * band_planes + p]
+            proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+            sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sigs.append(sig)
+    return df.select(
+        "*", F.posexplode(F.array(*sigs)).alias("band", "band_sig")
+    )
+
+
+def lsh_near_dupes(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    band_planes: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed embedding-threshold dedup: the production form of
+    :func:`cosine_near_dupes` — multi-band hyperplane LSH candidate
+    generation + exact cosine rerank, no all-pairs shape anywhere.
+
+    Candidates are pairs agreeing on at least one full band signature
+    (OR-of-ANDs banding: candidate probability for angle theta is
+    ``1 - (1 - (1-theta/pi)^band_planes)^n_bands``). Recall rises with
+    ``n_bands`` and falls with ``band_planes``; ``band_planes=1`` with
+    several bands gives near-1 recall at moderate thresholds (pair-set
+    equality with the exact form is pinned by
+    tests/test_similarity_search.py at the q28 configuration).
+
+    Shuffle shape at scale: one shuffle on (band, band_sig) for the
+    candidate join, a dedup on (id1, id2), and two id-keyed joins to fetch
+    vectors for the rerank — never a crossJoin.
+    """
+    banded = _band_signatures(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        dim, n_bands, band_planes, seed, "_v",
+    ).select("_id", "band", "band_sig")
+    a = banded.select(F.col("_id").alias("id1"), "band", "band_sig")
+    b = banded.select(F.col("_id").alias("id2"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    v1 = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    v2 = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cosine", cosine_similarity_col(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
 
 
 def lsh_topk(

@@ -20,6 +20,9 @@ from name_matching_spark.functions.columns import (
 AFFIX_PIECES = [
     "Mr", "mr.", "MRS", "Dr.", "Atty", "Juan", "Cruz", "Santos,", "Jr",
     "iii", "PhD", "x", "v", "", "miss", "esq.",
+    # dotted forms the reference does NOT list (must pass through): these
+    # catch regexes that over-generalize the optional dot
+    "Miss.", "PhD.", "iii.", "md.", "x.",
 ]
 name_strings = st.lists(st.sampled_from(AFFIX_PIECES), max_size=4).map(" ".join)
 
@@ -54,6 +57,36 @@ def test_affix_golden(spark):
     assert rows["Juan Cruz Jr"]["s"] == "Juan Cruz"
     assert rows["Juan Cruz,"]["s"] == "Juan Cruz"
     assert rows["Plain Name"]["s"] == "Plain Name"
+
+
+def test_affix_dotted_variants_match_reference(spark):
+    """The reference lists dotted variants only for SOME affixes
+    (src/standardizer.py:73-76, 97-100): 'Miss.' / 'PhD.' / 'III.' are NOT
+    stripped, while 'Mr.' / 'Jr.' / 'Esq.' are."""
+    df = spark.createDataFrame(
+        [("Miss. Maria Santos",), ("Miss Maria Santos",), ("Mr. Juan Cruz",),
+         ("Juan Cruz PhD.",), ("Juan Cruz PhD",), ("Juan Cruz Jr.",),
+         ("Juan Santos III.",), ("Juan Santos III",), ("Juan Cruz Esq.",)],
+        ["name"],
+    )
+    rows = {r["name"]: r for r in df.select(
+        "name",
+        strip_name_prefixes(F.col("name")).alias("p"),
+        strip_name_suffixes(F.col("name")).alias("s"),
+    ).collect()}
+    for name, r in rows.items():
+        assert r["p"] == remove_name_prefixes(name), name
+        assert r["s"] == remove_name_suffixes(name), name
+    # pin the headline divergences explicitly
+    assert rows["Miss. Maria Santos"]["p"] == "Miss. Maria Santos"
+    assert rows["Miss Maria Santos"]["p"] == "Maria Santos"
+    assert rows["Mr. Juan Cruz"]["p"] == "Juan Cruz"
+    assert rows["Juan Cruz PhD."]["s"] == "Juan Cruz PhD."
+    assert rows["Juan Cruz PhD"]["s"] == "Juan Cruz"
+    assert rows["Juan Cruz Jr."]["s"] == "Juan Cruz"
+    assert rows["Juan Santos III."]["s"] == "Juan Santos III."
+    assert rows["Juan Santos III"]["s"] == "Juan Santos"
+    assert rows["Juan Cruz Esq."]["s"] == "Juan Cruz"
 
 
 def test_token_set_jaccard(spark):

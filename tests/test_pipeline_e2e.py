@@ -140,3 +140,29 @@ def test_pluggable_base_similarity_dl(spark, records):
     for k, (s, c) in want.items():
         assert got[k][0] == _pytest.approx(s, abs=1e-9), k
         assert got[k][1] == c, k
+
+
+def test_punctuation_token_in_name_matches_oracle(spark):
+    """Standardization can delete a punctuation-only token ('Cruz & Santos'
+    -> 'cruz  santos'); the sorted_full key must drop the resulting empty
+    token like Python str.split() does (ADVICE r1: score_full_name_sorted
+    diverged 0.8737 vs 1.0 before the fix)."""
+    rows = [
+        {"record_id": 1, "first_name": "Ana", "middle_name_last_name": "Cruz & Santos",
+         "birthdate": "1990-01-01", "province_name": "Prov", "city_name": "City"},
+        {"record_id": 2, "first_name": "Ana", "middle_name_last_name": "Cruz Santos",
+         "birthdate": "1990-01-01", "province_name": "Prov", "city_name": "City"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = dedup_table(df, SCHEMA, keep_non_match=True).toPandas()
+    want = run_pipeline(rows, keep_non_match=True)
+    assert set(zip(out["id1"], out["id2"])) == set(want.keys())
+    for row in out.itertuples():
+        score, cls, comps = want[(row.id1, row.id2)]
+        assert row.score == pytest.approx(score, abs=1e-9)
+        assert row.classification == cls
+        assert row.score_full_name_sorted == pytest.approx(
+            comps["full_name_sorted"], abs=1e-9
+        )
+    # the pair's sorted-full similarity is exactly 1.0 once empties drop
+    assert out.iloc[0]["score_full_name_sorted"] == pytest.approx(1.0)
