@@ -241,10 +241,14 @@ def q09_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     counts = confusion_counts(ev, match_threshold=0.5)
+    # metrics are emitted as parts-per-million via PURE INTEGER arithmetic —
+    # identical in any engine, immune to double-rounding divergence
+    # (round(double, 6) is HALF_UP on the exact decimal in Spark but
+    # float-multiply rounding in DuckDB; r1's only red driver cell)
     return counts.select(
         "tp", "fp", "fn", "tn",
-        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)), 6).alias("precision"),
-        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 6).alias("recall"),
+        F.expr("CAST(tp * 1000000 DIV greatest(tp + fp, 1) AS BIGINT)").alias("precision_ppm"),
+        F.expr("CAST(tp * 1000000 DIV greatest(tp + fn, 1) AS BIGINT)").alias("recall_ppm"),
     )
 
 
@@ -576,8 +580,8 @@ def oracle_sql() -> dict[str, str]:
                 sum(CASE WHEN score < 0.5 AND true_label <> 'match' THEN 1 ELSE 0 END) AS tn
               FROM t)
             SELECT tp, fp, fn, tn,
-                   round(tp / greatest(tp + fp, 1), 6) AS precision,
-                   round(tp / greatest(tp + fn, 1), 6) AS recall
+                   CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT) AS precision_ppm,
+                   CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT) AS recall_ppm
             FROM c
         """,
         "q10_standardize": """
