@@ -313,8 +313,13 @@ def q14_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q15_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full fuzzy pipeline (rows-only check; exact semantics pinned by the
-    pytest oracle suite). Returns matches + manual_review pairs."""
+    """Full fuzzy pipeline with an EXACT DuckDB oracle: Jaro-Winkler is
+    rendered as pure recursive-CTE SQL (``oracle_sql/jw.py``, bit-identical
+    to the numpy kernel), so the driver value-hashes the flagship query.
+    ``score`` is the raw double — both engines compute the identical IEEE
+    expression, and the gate's own %.6f formatting normalizes the output
+    (explicit round(x, 6) is exactly the HALF_UP-vs-float divergence that
+    broke q09 in round 1). Returns matches + manual_review pairs."""
     from name_matching_spark.operators.normalize import LinkageSchema
     from name_matching_spark.plans.linkage import dedup_table
 
@@ -323,9 +328,7 @@ def q15_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="record_id", geo_fields=["province_name", "city_name"]
     )
     out = dedup_table(person, schema)
-    return out.select(
-        "id1", "id2", F.round(F.col("score"), 6).alias("score"), "classification"
-    )
+    return out.select("id1", "id2", "score", "classification")
 
 
 def q16_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,6 +516,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _PERSON_CTE = f"WITH person AS ({PERSON_SQL})"
 
 
+def _q15_oracle() -> str:
+    """Exact oracle of the flagship fuzzy pipeline, pure SQL.
+
+    Standardized components are derived analytically from the PERSON_SQL
+    pools (names are ASCII so standardize == lower; middle/last from the
+    same CASE tables the Spark parse UDF reproduces — the q12 oracle proves
+    that equivalence). Blocking mirrors the 'phonetic' pass (q14 proves the
+    soundex rendition + pair census). Jaro-Winkler runs ONCE per DISTINCT
+    component string pair through the recursive-CTE rendition of
+    ``oracle_sql/jw.py`` (bit-equal to the kernel by
+    tests/test_sql_oracle_jw.py) and joins back — the same memoization the
+    Spark kernels apply per Arrow batch. Float expression order replicates
+    ``operators/score_pairs.py`` exactly, including the Python-float weight
+    sum 1.0000000000000002 used as the name-score denominator.
+    """
+    from name_matching_spark.oracle_sql.jw import jw_cte_sql
+
+    total_w = sum([0.4, 0.2, 0.3, 0.1])  # == 1.0000000000000002, as Python sums it
+    return f"""WITH person AS ({PERSON_SQL}),
+norm AS (
+    SELECT record_id,
+           lower(first_name) AS first_std,
+           {_ORACLE_MIDDLE} AS middle_std,
+           {_ORACLE_LAST} AS last_std,
+           birthdate AS birthdate_std,
+           lower(province_name) AS geo0,
+           lower(city_name) AS geo1
+    FROM person),
+withfull AS (
+    SELECT *,
+           concat_ws(' ', first_std, nullif(middle_std, ''), last_std) AS full_std
+    FROM norm),
+keyed AS (
+    SELECT *,
+           array_to_string(list_sort(list_filter(string_split(full_std, ' '),
+               x -> x <> '')), ' ') AS sorted_full,
+           upper(substr(first_std, 1, 1)) || '|' || {_sdx_sql("last_std")} AS block_key
+    FROM withfull),
+pairs AS (
+    SELECT a.record_id AS id1, b.record_id AS id2,
+           a.first_std AS f1, b.first_std AS f2,
+           a.middle_std AS md1, b.middle_std AS md2,
+           a.last_std AS ls1, b.last_std AS ls2,
+           a.sorted_full AS sf1, b.sorted_full AS sf2,
+           a.birthdate_std AS bd1, b.birthdate_std AS bd2,
+           a.geo0 AS g0a, b.geo0 AS g0b,
+           a.geo1 AS g1a, b.geo1 AS g1b
+    FROM keyed a JOIN keyed b
+      ON a.block_key = b.block_key AND a.record_id < b.record_id),
+sp AS (
+    SELECT f1 AS s1, f2 AS s2 FROM pairs
+    UNION SELECT md1, md2 FROM pairs
+    UNION SELECT ls1, ls2 FROM pairs
+    UNION SELECT sf1, sf2 FROM pairs
+    UNION SELECT g0a, g0b FROM pairs
+    UNION SELECT g1a, g1b FROM pairs),
+{jw_cte_sql("sp")},
+scored AS (
+    SELECT p.id1, p.id2,
+           (jf.jw * 0.4::DOUBLE + jm.jw * 0.2::DOUBLE
+            + jl.jw * 0.3::DOUBLE + js.jw * 0.1::DOUBLE)
+             / {total_w!r}::DOUBLE AS name_score,
+           CASE WHEN p.bd1 IS NOT DISTINCT FROM p.bd2 THEN 1.0 ELSE 0.0 END AS s_birth,
+           (jg0.jw + jg1.jw) / 2 AS s_geo
+    FROM pairs p
+    JOIN jw jf  ON jf.s1 = p.f1  AND jf.s2 = p.f2
+    JOIN jw jm  ON jm.s1 = p.md1 AND jm.s2 = p.md2
+    JOIN jw jl  ON jl.s1 = p.ls1 AND jl.s2 = p.ls2
+    JOIN jw js  ON js.s1 = p.sf1 AND js.s2 = p.sf2
+    JOIN jw jg0 ON jg0.s1 = p.g0a AND jg0.s2 = p.g0b
+    JOIN jw jg1 ON jg1.s1 = p.g1a AND jg1.s2 = p.g1b),
+final AS (
+    SELECT id1, id2,
+           name_score * 0.4::DOUBLE + s_birth * 0.3::DOUBLE
+             + s_geo * 0.3::DOUBLE AS score
+    FROM scored),
+classed AS (
+    SELECT id1, id2, score,
+           CASE WHEN score >= 0.75::DOUBLE THEN 'match'
+                WHEN score < 0.55::DOUBLE THEN 'non_match'
+                ELSE 'manual_review' END AS classification
+    FROM final)
+SELECT id1, id2, score, classification
+FROM classed WHERE classification <> 'non_match'
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
@@ -613,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT block_key, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
             FROM census WHERE n > 1
         """,
+        "q15_match_scores": _q15_oracle(),
         "q16_clusters": _PERSON_CTE + f""",
             named AS (SELECT record_id,
                 trim(lower(first_name) || ' ' ||

@@ -1,0 +1,39 @@
+"""The pure-SQL DuckDB Jaro-Winkler (oracle_sql/jw.py) is bit-identical to
+the scalar oracle (core/similarity.py) — and therefore to the numpy kernel,
+which is property-tested against the same oracle in test_kernels.py."""
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+
+from name_matching_spark.core.similarity import jaro_winkler_similarity
+from name_matching_spark.oracle_sql.jw import jw_cte_sql
+
+ALPHABET = "abcdefghijklmnopqrstuvwxyz '_-019"
+strings = st.text(alphabet=ALPHABET, max_size=24)
+
+
+def sql_jw(pairs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sp(s1 VARCHAR, s2 VARCHAR)")
+    con.executemany("INSERT INTO sp VALUES (?, ?)", pairs)
+    q = "WITH " + jw_cte_sql("sp") + " SELECT s1, s2, jw FROM jw"
+    return {(r[0], r[1]): r[2] for r in con.execute(q).fetchall()}
+
+
+def test_golden_values():
+    got = sql_jw([("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("", ""),
+                  ("", "x"), ("ca", "abc")])
+    assert abs(got[("MARTHA", "MARHTA")] - 0.9611111111111111) < 1e-15
+    assert abs(got[("DIXON", "DICKSONX")] - 0.8133333333333332) < 1e-15
+    assert got[("", "")] == 1.0
+    assert got[("", "x")] == 0.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(strings, strings), min_size=1, max_size=60, unique=True))
+def test_sql_jw_equals_scalar_oracle_bitexact(pairs):
+    got = sql_jw(pairs)
+    assert len(got) == len(pairs)
+    for s1, s2 in pairs:
+        want = jaro_winkler_similarity(s1, s2)
+        assert got[(s1, s2)] == want, (s1, s2, got[(s1, s2)], want)
