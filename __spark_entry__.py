@@ -425,8 +425,10 @@ def q24_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q25_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (scale path; rows-only — bucket contents
-    depend on seeded planes shipped in the engine)."""
+    """Hyperplane-LSH bucketed ANN (scale path). Exact oracle: the seeded
+    plane constants are inlined into the SQL as DOUBLE literals, so bucket
+    assignment (sign of the same left-to-right dot-product fold) and the
+    within-bucket rerank are fully expressible in DuckDB."""
     from name_matching_spark.operators.similarity_search import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -472,6 +474,21 @@ def q27_affix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding-threshold dedup (the 100 TB path for q26's shape):
+    multi-band hyperplane LSH candidates + exact cosine rerank. The oracle
+    is the EXACT all-pairs computation — the driver's value-hash gate
+    therefore proves recall = 1 of this banding configuration, not merely
+    that the banded plan was transliterated."""
+    from name_matching_spark.operators.similarity_search import lsh_near_dupes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = lsh_near_dupes(
+        emb, dim=64, threshold=0.3, n_bands=16, band_planes=2, seed=42
+    )
+    return out.select("id1", "id2", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -506,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_ann_lsh": q25_ann_lsh,
         "q26_embedding_dupes": q26_embedding_dupes,
         "q27_affix_strip": q27_affix_strip,
+        "q28_lsh_near_dupes": q28_lsh_near_dupes,
     }
 
 
@@ -601,6 +619,42 @@ classed AS (
 SELECT id1, id2, score, classification
 FROM classed WHERE classification <> 'non_match'
 """
+
+
+def _q25_oracle() -> str:
+    """Exact oracle for hyperplane-LSH top-k: the engine's seeded planes
+    (``operators/similarity_search.py:_seeded_planes``, dim=64 n_planes=4
+    seed=42) become DOUBLE[] literals; bucket = packed sign bits of the
+    same sequential dot-product fold; rerank mirrors q24."""
+    from name_matching_spark.operators.similarity_search import _seeded_planes
+
+    planes = _seeded_planes(dim=64, n_planes=4, seed=42)
+    plane_lits = [
+        "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ({lit})[i])) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(plane_lits)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, CAST({bucket_terms} AS BIGINT) AS bucket FROM e),
+        s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_sum(list_transform(range(1, 65), k -> q.v[k] * c.v[k])) AS dot,
+                sqrt(list_sum(list_transform(range(1, 65), k -> q.v[k] * q.v[k]))) AS nq,
+                sqrt(list_sum(list_transform(range(1, 65), k -> c.v[k] * c.v[k]))) AS nc
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+                CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cosine
+              FROM s),
+        w AS (SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM r)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+        FROM w WHERE rank <= 3
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -846,7 +900,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
             FROM w WHERE rank <= 3
         """,
+        "q25_ann_lsh": _q25_oracle(),
         "q26_embedding_dupes": """
+            WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+                    list_sum(list_transform(range(1, len(x.v) + 1), k -> x.v[k] * y.v[k])) AS dot,
+                    sqrt(list_sum(list_transform(range(1, len(x.v) + 1), k -> x.v[k] * x.v[k]))) AS n1,
+                    sqrt(list_sum(list_transform(range(1, len(y.v) + 1), k -> y.v[k] * y.v[k]))) AS n2
+                  FROM a x, a y WHERE x.vec_id < y.vec_id),
+            c AS (SELECT id1, id2,
+                    CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0 ELSE dot / (n1 * n2) END AS cosine
+                  FROM s)
+            SELECT id1, id2, round(cosine, 6) AS cosine FROM c WHERE cosine >= 0.3
+        """,
+        # exact all-pairs threshold computation as the oracle for the BANDED
+        # Spark path: hash equality == proof of recall 1 at this config
+        "q28_lsh_near_dupes": """
             WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             s AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
                     list_sum(list_transform(range(1, len(x.v) + 1), k -> x.v[k] * y.v[k])) AS dot,
