@@ -62,16 +62,32 @@ def token_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str | None = None,
-    max_token_df: int | None = None,
+    max_token_df: int | str | None = "auto",
 ) -> DataFrame:
     """All document pairs with token-set Jaccard >= threshold, computed
     relationally: explode tokens -> self-join on token (the blocking key is
     the token itself) -> count intersections -> |A∪B| = |A|+|B|-|A∩B|.
 
-    Scale controls: ``group_col`` restricts candidates to a partition (e.g.
-    language); ``max_token_df`` drops ultra-common tokens (stop-words are
-    skew bombs: a token in k docs generates k² join rows).
+    Skew guard (ON by default): a token appearing in k docs contributes k²
+    join rows, so one stop-word makes the candidate join quadratic at corpus
+    scale. ``max_token_df`` caps the document frequency of tokens used for
+    CANDIDATE GENERATION only:
 
+    - ``"auto"`` (default): cap = max(1000, ceil(1% of corpus docs)),
+      derived IN-PLAN from a broadcast one-row census — no driver action,
+      holds at any scale.
+    - an int: explicit cap.
+    - ``None``: guard off (single-pass join; only for corpora known to have
+      no hot tokens).
+
+    Jaccard VALUES stay exact under the guard: candidates come from the
+    capped token join, but intersections are re-counted against the FULL
+    token sets via id-keyed joins (bounded by candidates x doc size — no
+    token-skew). The only semantic delta vs the unguarded form is recall:
+    a pair is missed iff EVERY shared token exceeds the cap (pinned by
+    tests/test_dedup_text.py).
+
+    ``group_col`` restricts candidates to a partition (e.g. language).
     Semantics: token-set Jaccard per the reference's ``jaccard_similarity``
     (``src/matcher.py:453-485``) lifted from one pair to all-pairs.
     """
@@ -79,26 +95,59 @@ def token_jaccard_pairs(
     if group_col:
         toks = toks.join(df.select(id_col, group_col), id_col)
 
-    if max_token_df is not None:
+    join_toks = toks
+    guarded = max_token_df is not None
+    if guarded:
         df_counts = toks.groupBy("token").count()
-        keep = df_counts.filter(F.col("count") <= max_token_df).select("token")
-        toks = toks.join(keep, "token")
+        if max_token_df == "auto":
+            n_docs = toks.select(id_col).distinct().select(
+                F.count("*").alias("_n_docs")
+            )
+            keep = (
+                df_counts.join(F.broadcast(n_docs))
+                .filter(
+                    F.col("count")
+                    <= F.greatest(F.lit(1000), F.ceil(F.col("_n_docs") * 0.01))
+                )
+                .select("token")
+            )
+        else:
+            keep = df_counts.filter(F.col("count") <= int(max_token_df)).select("token")
+        join_toks = toks.join(keep, "token")
 
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
     join_keys = ["token"] + ([group_col] if group_col else [])
-    a = toks.select(
+    a = join_toks.select(
         F.col(id_col).alias("id1"), *[F.col(c) for c in join_keys]
     )
-    b = toks.select(
+    b = join_toks.select(
         F.col(id_col).alias("id2"), *[F.col(c) for c in join_keys]
     )
-    inter = (
-        a.join(b, join_keys)
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("intersection"))
-    )
+    if guarded:
+        # candidates from the capped join; exact intersections re-counted on
+        # the full token sets (id-keyed joins — candidate x doc-size bound)
+        cand = (
+            a.join(b, join_keys)
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
+        t1 = toks.select(F.col(id_col).alias("id1"), "token")
+        t2 = toks.select(F.col(id_col).alias("id2"), "token")
+        inter = (
+            cand.join(t1, "id1")
+            .join(t2, ["id2", "token"])
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("intersection"))
+        )
+    else:
+        inter = (
+            a.join(b, join_keys)
+            .filter(F.col("id1") < F.col("id2"))
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("intersection"))
+        )
     out = (
         inter.join(sizes.withColumnsRenamed({id_col: "id1", "set_size": "size1"}), "id1")
         .join(sizes.withColumnsRenamed({id_col: "id2", "set_size": "size2"}), "id2")

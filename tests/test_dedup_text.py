@@ -68,9 +68,58 @@ def test_token_jaccard_pairs(spark, docs_df):
 
 
 def test_token_jaccard_max_df_drops_stopword_blowup(spark, docs_df):
-    full = token_jaccard_pairs(docs_df, threshold=0.0).count()
+    full = token_jaccard_pairs(docs_df, threshold=0.0, max_token_df=None).count()
     limited = token_jaccard_pairs(docs_df, threshold=0.0, max_token_df=2).count()
     assert limited <= full
+
+
+def test_token_jaccard_auto_guard_identical_when_no_hot_tokens(spark, docs_df):
+    """The default 'auto' cap (max(1000, 1% of corpus)) prunes nothing on a
+    corpus without ultra-common tokens — output must equal the unguarded
+    form exactly (pairs AND values)."""
+    unguarded = {
+        (r["id1"], r["id2"]): (r["intersection"], r["size1"], r["size2"], r["jaccard"])
+        for r in token_jaccard_pairs(docs_df, threshold=0.0, max_token_df=None).collect()
+    }
+    auto = {
+        (r["id1"], r["id2"]): (r["intersection"], r["size1"], r["size2"], r["jaccard"])
+        for r in token_jaccard_pairs(docs_df, threshold=0.0).collect()
+    }
+    assert auto == unguarded
+
+
+def test_token_jaccard_guard_keeps_exact_values(spark):
+    """Under an ACTIVE cap, candidates come from rare tokens only but the
+    jaccard of surviving pairs is computed on the FULL token sets — a pair
+    sharing one rare token keeps its exact (stop-word-inclusive) value; a
+    pair connected solely through the stop-word is dropped."""
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "the quick brown wolf"),
+        (2, "the slow green turtle"),
+        (3, "the hasty red panda"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # 'the' is in all 4 docs; cap=3 prunes it from candidate generation
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in token_jaccard_pairs(df, threshold=0.0, max_token_df=3).collect()
+    }
+    # docs 0,1 share quick+brown (rare) -> candidate; full-set jaccard
+    # includes 'the': |{the,quick,brown}| / |{the,quick,brown,fox,wolf}|
+    assert got[(0, 1)] == pytest.approx(3 / 5, abs=1e-12)
+    # docs 2,3 share only 'the' -> no rare shared token -> dropped
+    assert (2, 3) not in got
+    # threshold pairs above cap-free jaccard are intact (VERDICT r1 item 4)
+    full = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in token_jaccard_pairs(df, threshold=0.5, max_token_df=None).collect()
+    }
+    capped = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in token_jaccard_pairs(df, threshold=0.5, max_token_df=3).collect()
+    }
+    assert capped == full  # (0,1) at 0.6 survives with the identical value
 
 
 def _py_minhash(text, num_hashes, shingle_len):
