@@ -489,6 +489,28 @@ def q28_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q29_parse_full_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6: full-string name parsing (``extract_name_components``,
+    reference src/parser.py:100-127) as a vectorized Spark operator — the
+    single-column ingest shape q12's (first, middle+last) path can't
+    handle. Oracle derives expected components analytically from the same
+    CASE pools."""
+    from name_matching_spark.functions.udfs import parse_full_name_udf, standardize_udf
+
+    person = _person_df(spark, sf_dir)
+    full = person.select(
+        "record_id",
+        F.concat_ws(" ", "first_name", "middle_name_last_name").alias("full_name"),
+    )
+    parsed = full.withColumn("_p", parse_full_name_udf(F.col("full_name")))
+    return parsed.select(
+        "record_id",
+        standardize_udf(F.col("_p.first_name")).alias("first_std"),
+        standardize_udf(F.col("_p.middle_name")).alias("middle_std"),
+        standardize_udf(F.col("_p.last_name")).alias("last_std"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -524,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_embedding_dupes": q26_embedding_dupes,
         "q27_affix_strip": q27_affix_strip,
         "q28_lsh_near_dupes": q28_lsh_near_dupes,
+        "q29_parse_full_names": q29_parse_full_names,
     }
 
 
@@ -740,6 +763,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_parse_names": _PERSON_CTE + f"""
             SELECT record_id,
+                   {_ORACLE_MIDDLE} AS middle_std,
+                   {_ORACLE_LAST} AS last_std
+            FROM person
+        """,
+        "q29_parse_full_names": _PERSON_CTE + f"""
+            SELECT record_id,
+                   lower(first_name) AS first_std,
                    {_ORACLE_MIDDLE} AS middle_std,
                    {_ORACLE_LAST} AS last_std
             FROM person

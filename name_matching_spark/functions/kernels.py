@@ -29,6 +29,7 @@ __all__ = [
     "batch_soundex",
     "batch_standardize",
     "batch_parse_middle_last",
+    "batch_extract_full_name",
 ]
 
 # Pad sentinels: beyond any valid codepoint (max 0x10FFFF) and mutually
@@ -499,3 +500,20 @@ def batch_parse_middle_last(first: pd.Series, middle_last: pd.Series) -> pd.Data
         {"first_name": first, "middle_name": middle, "last_name": last},
         index=first.index,
     )
+
+
+def batch_extract_full_name(full: pd.Series) -> pd.DataFrame:
+    """Vectorized ``extract_name_components`` (``src/parser.py:100-127``):
+    one full-name string per row -> first/middle/last components.
+
+    First whitespace-delimited token -> first_name; the remainder runs
+    through the (first, middle+last) parse — identical to the reference,
+    which re-joins ``parts[1:]`` and delegates to ``parse_name`` for the
+    >=3-token case while the 1/2-token cases coincide with the delegate's
+    behavior (a single remaining token can never glue as a compound prefix).
+    """
+    s = full.fillna("").astype(str).str.strip()
+    parts = s.str.split(n=1)
+    first = parts.str[0].fillna("")
+    rest = parts.str[1].fillna("")
+    return batch_parse_middle_last(first, rest)

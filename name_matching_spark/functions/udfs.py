@@ -25,6 +25,7 @@ __all__ = [
     "soundex_udf",
     "standardize_udf",
     "parse_name_udf",
+    "parse_full_name_udf",
     "make_component_scores_udf",
     "COMPONENT_SCORES_SCHEMA",
 ]
@@ -73,6 +74,15 @@ def parse_name_udf(first: pd.Series, middle_last: pd.Series) -> pd.DataFrame:
     """(first_name, middle_name_last_name) -> parsed component struct
     (``src/parser.py:11-97`` semantics, vectorized)."""
     return K.batch_parse_middle_last(first, middle_last)
+
+
+@pandas_udf(_PARSE_SCHEMA)
+def parse_full_name_udf(full_name: pd.Series) -> pd.DataFrame:
+    """Single full-name string -> parsed component struct
+    (``src/parser.py:100-127`` / ``extract_name_components``, vectorized) —
+    the N6 operator: normalizes a one-column name table without a
+    pre-split (first, middle+last) shape."""
+    return K.batch_extract_full_name(full_name)
 
 
 COMPONENT_SCORES_SCHEMA = StructType(

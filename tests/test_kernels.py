@@ -173,3 +173,38 @@ def test_batch_parse_golden():
     got = batch_parse_middle_last(first, mnl)
     assert list(got["middle_name"]) == ["Cruz", "", "Reyes", "santa maria"]
     assert list(got["last_name"]) == ["Santos", "Dela Cruz", "de los Santos", "cruz"]
+
+
+full_name_strings = st.lists(
+    st.sampled_from(
+        ["Juan", "Maria", "dela", "de", "la", "los", "las", "san", "sto",
+         "cruz", "Santos", "DELA", "x", ""]
+    ),
+    max_size=6,
+).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(full_name_strings, min_size=1, max_size=15))
+def test_batch_extract_full_name_matches_oracle(rows):
+    from name_matching_spark.core.parsing import extract_name_components
+    from name_matching_spark.functions.kernels import batch_extract_full_name
+
+    got = batch_extract_full_name(pd.Series(rows, dtype=object))
+    for i, s in enumerate(rows):
+        want = extract_name_components(s)
+        assert got["first_name"].iloc[i] == want["first_name"], s
+        assert got["middle_name"].iloc[i] == want["middle_name"], s
+        assert got["last_name"].iloc[i] == want["last_name"], s
+
+
+def test_batch_extract_full_name_golden():
+    from name_matching_spark.functions.kernels import batch_extract_full_name
+
+    got = batch_extract_full_name(
+        pd.Series(["Juan", "Juan Cruz", "Juan Reyes Dela Cruz",
+                   "Ana  de los  Santos", ""], dtype=object)
+    )
+    assert list(got["first_name"]) == ["Juan", "Juan", "Juan", "Ana", ""]
+    assert list(got["middle_name"]) == ["", "", "Reyes", "", ""]
+    assert list(got["last_name"]) == ["", "Cruz", "Dela Cruz", "de los Santos", ""]
