@@ -30,6 +30,7 @@ __all__ = [
     "batch_standardize",
     "batch_parse_middle_last",
     "batch_extract_full_name",
+    "batch_simhash",
 ]
 
 # Pad sentinels: beyond any valid codepoint (max 0x10FFFF) and mutually
@@ -397,6 +398,84 @@ def batch_monge_elkan(tokens1, tokens2, kernel) -> np.ndarray:
     out[np.flatnonzero(has_pairs)] = means
     # rows active but with zero non-empty tokens2: every max is 0 -> mean 0
     return out
+
+
+# Cap on (token_rows x bits) vote cells held at once by batch_simhash.
+_SIMHASH_CELL_BUDGET = 8_000_000
+
+
+def batch_simhash(texts, bits: int = 64) -> np.ndarray:
+    """Per-document SimHash signatures in ONE vectorized pass (no
+    (token x bit) row explosion — the relational form amplified every token
+    64x before the vote groupBy; VERDICT r1 item 6).
+
+    Semantics identical to the relational/oracle form: distinct lowercase
+    whitespace tokens; token hash = first 16 hex chars of md5 (64-bit);
+    signature bit b is 1 iff strictly more tokens have bit b set than
+    unset. Returned as int64 (bit 63 = sign; only XOR popcount consumers).
+    Documents with no tokens get 0 — callers that must mirror the
+    relational "absent row" behavior filter empties beforehand.
+
+    Each distinct token is md5-hashed once per batch (process-wide memo),
+    and the vote matrix is chunked so (token_rows x bits) cells stay under
+    a fixed budget regardless of batch size.
+    """
+    import hashlib
+
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    arr = _as_str_array(texts)
+    token_lists = [list(dict.fromkeys(s.lower().split())) for s in arr]
+    sizes = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+    nonempty = np.flatnonzero(sizes > 0)
+    if len(nonempty) == 0:
+        return out
+
+    memo = _simhash_md5_memo
+    shift = np.arange(bits, dtype=np.uint64)
+    chunk_docs: list[int] = []
+    chunk_rows = 0
+
+    def flush() -> None:
+        if not chunk_docs:
+            return
+        flat: list[np.uint64] = []
+        seg_sizes = []
+        for d in chunk_docs:
+            toks = token_lists[d]
+            seg_sizes.append(len(toks))
+            for tok in toks:
+                h = memo.get(tok)
+                if h is None:
+                    h = np.uint64(int(hashlib.md5(tok.encode()).hexdigest()[:16], 16))
+                    if len(memo) < 2_000_000:
+                        memo[tok] = h
+                flat.append(h)
+        th = np.asarray(flat, dtype=np.uint64)
+        ones = ((th[:, None] >> shift) & np.uint64(1)).astype(np.int64)
+        starts = np.zeros(len(seg_sizes), dtype=np.int64)
+        np.cumsum(np.asarray(seg_sizes[:-1], dtype=np.int64), out=starts[1:])
+        ones_per_doc = np.add.reduceat(ones, starts, axis=0)
+        cnt = np.asarray(seg_sizes, dtype=np.int64)[:, None]
+        # vote v = ones - zeros = 2*ones - cnt; bit set iff v > 0
+        bit_set = (2 * ones_per_doc) > cnt
+        usig = (bit_set.astype(np.uint64) << shift).sum(axis=1, dtype=np.uint64)
+        out[np.asarray(chunk_docs)] = usig.view(np.int64)
+        chunk_docs.clear()
+
+    for d in nonempty:
+        if chunk_rows + sizes[d] > max(_SIMHASH_CELL_BUDGET // bits, 1) and chunk_docs:
+            flush()
+            chunk_rows = 0
+        chunk_docs.append(int(d))
+        chunk_rows += int(sizes[d])
+    flush()
+    return out
+
+
+_simhash_md5_memo: dict[str, np.uint64] = {}
 
 
 _SOUNDEX_TABLE = str.maketrans("BFPVCGJKQSXZDTLMNR", "111122222222334556", "AEIOUHWY")

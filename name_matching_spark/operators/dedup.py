@@ -259,37 +259,34 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """SimHash per doc over lowercase word tokens.
+    """SimHash per doc over distinct lowercase word tokens.
 
     Token hash = first 16 hex chars of md5 (64 bits, portable); bit b of the
     signature is 1 iff more distinct tokens have bit b set than unset.
-    Relational form: explode (token x bit) -> sum votes -> reassemble via
-    bit shifts. Output column ``simhash`` is a bigint (bit 63 interpreted as
-    sign — comparisons only ever use XOR popcount, so sign is irrelevant).
+    Output column ``simhash`` is a bigint (bit 63 interpreted as sign —
+    comparisons only ever use XOR popcount, so sign is irrelevant).
+
+    Computed in ONE Arrow-batch pass per partition (``kernels.batch_simhash``)
+    — a narrow map with ZERO shuffles. The previous relational form exploded
+    (token x 64 bits) rows — a 64x amplification feeding two groupBys —
+    whose semantics the DuckDB oracle still mirrors (q20), pinning the UDF.
+    Docs with no tokens are filtered, matching the relational form's
+    absent-row behavior.
     """
-    toks = tokenize_docs(df, text_col, id_col)
-    hashed = toks.select(
-        id_col,
-        # conv(.., 16, -10): SIGNED 64-bit reinterpretation of the 16 hex
-        # chars — fits bigint under ANSI; only the bit pattern matters
-        F.conv(F.substring(F.md5(F.col("token")), 1, 16), 16, -10).cast("bigint").alias("th"),
-    )
-    exploded = hashed.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        F.col("th"),
-    )
-    votes = exploded.withColumn(
-        "vote",
-        F.when(F.expr("(th >> b) & 1") == 1, 1).otherwise(-1),
-    )
-    bitsum = votes.groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
-    return bitsum.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        ).alias("simhash")
+    from pyspark.sql.types import LongType
+
+    from name_matching_spark.functions import kernels as K
+
+    @F.pandas_udf(LongType())
+    def simhash_udf(texts):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series(K.batch_simhash(texts, bits=bits), index=texts.index)
+
+    # "has at least one token" — F.trim strips spaces only, so strip the
+    # full \s class to mirror the tokenizer exactly (tab-only docs)
+    return df.filter(F.regexp_replace(F.col(text_col), r"\s+", "") != "").select(
+        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
     )
 
 

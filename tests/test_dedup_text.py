@@ -214,3 +214,14 @@ def test_fingerprint_token_order_insensitive(spark):
     assert rows[0]["token_fingerprint"] == rows[1]["token_fingerprint"]
     assert rows[0]["content_fingerprint"] != rows[1]["content_fingerprint"]
     assert rows[0]["token_fingerprint"] != rows[2]["token_fingerprint"]
+
+
+def test_simhash_udf_edge_docs(spark):
+    """One-pass simhash: whitespace-only/empty docs are absent (mirroring
+    the relational form); repeated tokens count once; known doc matches the
+    pure-python oracle."""
+    rows = [(0, "alpha beta alpha"), (1, "   "), (2, "\t\n"), (3, "alpha beta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert set(got) == {0, 3}
+    assert got[0] == got[3] == _py_simhash("alpha beta")
