@@ -139,3 +139,24 @@ def test_config_driven_run_matches_flag_driven(spark, tmp_path):
         b[["id1", "id2", "score", "classification"]],
     )
     assert len(a) > 0
+
+
+def test_match_names_cli(capsys):
+    """The match-names verb (reference src/cli.py:26-66): one pair through
+    the scalar oracle with per-component breakdown."""
+    import json as _json
+
+    from name_matching_spark.core.scoring import match_records
+    from scripts.match_names import main
+
+    assert main(["Juan Cruz Santos", "Juan Crux Santos",
+                 "--birthdate1", "1990-01-01", "--birthdate2", "1990-01-01"]) == 0
+    got = _json.loads(capsys.readouterr().out)
+    want_score, want_cls, want_comps = match_records(
+        "Juan Cruz Santos", None, "Juan Crux Santos", None,
+        birthdate1="1990-01-01", birthdate2="1990-01-01",
+    )
+    assert got["score"] == round(want_score, 6)
+    assert got["classification"] == want_cls
+    assert got["components"]["first_name"] == round(want_comps["first_name"], 6)
+    assert got["components"]["birthdate"] == 1.0
