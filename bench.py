@@ -29,7 +29,9 @@ HEADLINE = [
     "q17_exact_dedup",
     "q18_token_jaccard",
     "q19_minhash",
+    "q20_simhash_dupes",
     "q24_ann_topk",
+    "q28_lsh_near_dupes",
 ]
 
 

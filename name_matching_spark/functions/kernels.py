@@ -212,13 +212,52 @@ def batch_dl_distance(s1, s2) -> np.ndarray:
     return _batch_dl_raw(a, b)
 
 
+def _strip_common_affixes(s1: str, s2: str) -> tuple[str, str]:
+    """Drop the common prefix and suffix — distance-preserving for FULL DL
+    (verified exhaustively over all <=4-char {a,b,c} pairs with affixes that
+    overlap the alphabet, plus the hypothesis oracle-equivalence suite).
+    Near-identical name pairs collapse to tiny DP problems."""
+    m = min(len(s1), len(s2))
+    p = 0
+    while p < m and s1[p] == s2[p]:
+        p += 1
+    q = 0
+    lim = m - p
+    while q < lim and s1[len(s1) - 1 - q] == s2[len(s2) - 1 - q]:
+        q += 1
+    return s1[p : len(s1) - q], s2[p : len(s2) - q]
+
+
 def _batch_dl_raw(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     n = len(a)
     out = np.zeros(n, dtype=np.int64)
     if n == 0:
         return out
+
+    # fast paths: equal strings cost 0; after stripping the common
+    # prefix/suffix, one-side-empty rows cost the other side's length — only
+    # genuinely different cores reach the DP sweep
+    stripped = [_strip_common_affixes(x, y) for x, y in zip(a, b)]
+    a = np.array([s[0] for s in stripped], dtype=object)
+    b = np.array([s[1] for s in stripped], dtype=object)
     len1 = np.fromiter((len(s) for s in a), dtype=np.int64, count=n)
     len2 = np.fromiter((len(s) for s in b), dtype=np.int64, count=n)
+    trivial = (len1 == 0) | (len2 == 0)
+    if trivial.any():
+        out[trivial] = np.maximum(len1, len2)[trivial]
+        keep = ~trivial
+        if not keep.any():
+            return out
+        out[keep] = _batch_dl_core(a[keep], b[keep], len1[keep], len2[keep])
+        return out
+    return _batch_dl_core(a, b, len1, len2)
+
+
+def _batch_dl_core(
+    a: np.ndarray, b: np.ndarray, len1: np.ndarray, len2: np.ndarray
+) -> np.ndarray:
+    n = len(a)
+    out = np.zeros(n, dtype=np.int64)
     pair_max = np.maximum(np.maximum(len1, len2), 1)
     # homogeneous lengths (the common case for name tokens): plain
     # budget-bounded chunking, no reorder overhead
@@ -266,8 +305,23 @@ def _dl_distance_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     eff_L1 = int(len1.max())
     eff_L2 = int(len2.max())
 
-    maxdist = (len1 + len2).astype(np.int32)
-    d = np.zeros((n, eff_L1 + 2, eff_L2 + 2), dtype=np.int32)
+    # narrow-dtype fast path: ASCII/latin batches compare as uint8 (the
+    # uint32 pads wrap to 255/254 — still mutually unequal and above any
+    # real code), and short strings fit an int16 DP — 4x / 2x less memory
+    # traffic through the inner sweeps
+    mask_a = A != _PAD_A
+    mask_b = B != _PAD_B
+    cmax = max(
+        int(A[mask_a].max()) if mask_a.any() else 0,
+        int(B[mask_b].max()) if mask_b.any() else 0,
+    )
+    if cmax < 254:
+        A = A.astype(np.uint8)
+        B = B.astype(np.uint8)
+    dp_dtype = np.int16 if eff_L1 + eff_L2 < 32000 else np.int32
+
+    maxdist = (len1 + len2).astype(dp_dtype)
+    d = np.zeros((n, eff_L1 + 2, eff_L2 + 2), dtype=dp_dtype)
     d[:, 0, 0] = maxdist
     for i in range(eff_L1 + 1):
         d[:, i + 1, 0] = maxdist
@@ -279,26 +333,26 @@ def _dl_distance_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     rows = np.arange(n)
     # last_row_for_col[:, j] == textbook da[b[j]]: last 1-based row i' (over
     # completed rows) where a[i'] == b[j]
-    last_row_for_col = np.zeros((n, eff_L2), dtype=np.int32) if eff_L2 else np.zeros((n, 0), np.int32)
+    last_row_for_col = np.zeros((n, eff_L2), dtype=dp_dtype) if eff_L2 else np.zeros((n, 0), dp_dtype)
 
     for i in range(1, eff_L1 + 1):
         ai = A[:, i - 1]
-        db = np.zeros(n, dtype=np.int32)  # textbook db: last col j'<j with b[j']==a[i]
+        db = np.zeros(n, dtype=dp_dtype)  # textbook db: last col j'<j with b[j']==a[i]
         for j in range(1, eff_L2 + 1):
             bj = B[:, j - 1]
             k = last_row_for_col[:, j - 1]
             l = db
             eq = ai == bj
-            cost = (~eq).astype(np.int32)
+            cost = (~eq).astype(dp_dtype)
             best = d[:, i, j] + cost
             np.minimum(best, d[:, i + 1, j] + 1, out=best)
             np.minimum(best, d[:, i, j + 1] + 1, out=best)
             trans = d[rows, k, l] + (i - k - 1) + 1 + (j - l - 1)
             np.minimum(best, trans, out=best)
             d[:, i + 1, j + 1] = best
-            db = np.where(eq, np.int32(j), db)
+            db = np.where(eq, dp_dtype(j), db)
         if eff_L2:
-            last_row_for_col = np.where(B[:, :eff_L2] == ai[:, None], np.int32(i), last_row_for_col)
+            last_row_for_col = np.where(B[:, :eff_L2] == ai[:, None], dp_dtype(i), last_row_for_col)
 
     return d[rows, len1 + 1, len2 + 1].astype(np.int64)
 
