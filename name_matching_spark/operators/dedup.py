@@ -284,9 +284,13 @@ def simhash_signatures(
         return pd.Series(K.batch_simhash(texts, bits=bits), index=texts.index)
 
     # "has at least one token" — F.trim strips spaces only, so strip the
-    # full \s class to mirror the tokenizer exactly (tab-only docs)
+    # full \s class to mirror the tokenizer exactly (tab-only docs).
+    # asNondeterministic: deterministic in fact, but stops CollapseProject
+    # from inlining one UDF call per downstream consumer (same guard as the
+    # fused scoring UDF; tests/test_plan_properties.py)
     return df.filter(F.regexp_replace(F.col(text_col), r"\s+", "") != "").select(
-        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
+        F.col(id_col),
+        simhash_udf.asNondeterministic()(F.col(text_col)).alias("simhash"),
     )
 
 
@@ -307,7 +311,8 @@ def simhash_near_dupes(
     """
     if max_hamming >= n_chunks:
         raise ValueError("completeness requires max_hamming < n_chunks")
-    sig = simhash_signatures(df, bits, text_col, id_col)
+    # both join arms consume the signatures — materialize the UDF pass once
+    sig = simhash_signatures(df, bits, text_col, id_col).localCheckpoint(eager=False)
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     chunks = sig.select(
