@@ -107,8 +107,10 @@ def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_c
 
     Inputs (two struct columns, one per side) must carry STANDARDIZED name
     parts plus, per configured geo field, standardized geo values:
-    ``first_std, middle_std, last_std, full_std, sorted_full,
-    geo0..geo{n-1}``.
+    ``first_std, middle_std, last_std, geo0..geo{n-1}``. The full name
+    (" ".join of non-empty components, ``src/name_matcher.py:177-178``) and
+    its token-sorted form are derived HERE per batch — factorize-memoized —
+    instead of being shipped through the pair join.
 
     ``base_similarity``: "jaro_winkler" (default) or "damerau_levenshtein" —
     the pluggable base-component similarity slot
@@ -128,6 +130,26 @@ def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_c
     else:
         raise ValueError(f"unknown base_similarity: {base_similarity}")
 
+    def _full_and_sorted(side: pd.DataFrame):
+        """full = " ".join(filter(None, comps)) (exact: interior double
+        spaces inside components are preserved); sorted form computed once
+        per DISTINCT full value (Python sorted == codepoint order on these
+        folded strings, the scalar oracle's own tokenizer semantics)."""
+        import numpy as np
+
+        f = side["first_std"].fillna("").to_numpy(object)
+        m = side["middle_std"].fillna("").to_numpy(object)
+        l = side["last_std"].fillna("").to_numpy(object)  # noqa: E741
+        full = np.array(
+            [" ".join(x for x in parts if x) for parts in zip(f, m, l)],
+            dtype=object,
+        )
+        codes, uniq = pd.factorize(full)
+        sorted_uniq = np.array(
+            [" ".join(sorted(u.split())) for u in uniq], dtype=object
+        )
+        return full, sorted_uniq[codes]
+
     @pandas_udf(COMPONENT_SCORES_SCHEMA)
     def component_scores(side1: pd.DataFrame, side2: pd.DataFrame) -> pd.DataFrame:
         n = len(side1)
@@ -136,15 +158,13 @@ def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_c
             out[comp] = base_kernel(
                 side1[comp].to_numpy(object), side2[comp].to_numpy(object)
             )
-        out["full_name_sorted"] = K.batch_jaro_winkler(
-            side1["sorted_full"].to_numpy(object), side2["sorted_full"].to_numpy(object)
-        )
+        full1, sorted1 = _full_and_sorted(side1)
+        full2, sorted2 = _full_and_sorted(side2)
+        out["full_name_sorted"] = K.batch_jaro_winkler(sorted1, sorted2)
 
         # Monge-Elkan over whitespace tokens of the standardized full names.
         # Reference gates on non-empty token lists (name_matcher.py:183-196);
         # the kernel returns 0.0 for those rows already.
-        full1 = side1["full_std"].fillna("").to_numpy(object)
-        full2 = side2["full_std"].fillna("").to_numpy(object)
         out["monge_elkan_dl"] = K.batch_monge_elkan_str(full1, full2, K.batch_dl_similarity)
         out["monge_elkan_jw"] = K.batch_monge_elkan_str(full1, full2, K.batch_jaro_winkler)
 

@@ -44,7 +44,7 @@ class MatcherConfig:
 def scoring_struct_cols(config: MatcherConfig) -> list[str]:
     """Payload columns each pair side must carry (names match the normalized
     frame; geo fields are positional aliases)."""
-    cols = ["first_std", "middle_std", "last_std", "full_std", "sorted_full"]
+    cols = ["first_std", "middle_std", "last_std"]
     cols += [f"geo{i}" for i in range(len(config.geo_fields))]
     if config.use_birthdate:
         cols.append("birthdate_std")
@@ -54,12 +54,14 @@ def scoring_struct_cols(config: MatcherConfig) -> list[str]:
 def payload_select_exprs(config: MatcherConfig) -> list:
     """Normalized-frame columns -> scoring payload columns (geo fields get
     positional ``geo{i}`` aliases so the fused UDF is schema-stable)."""
+    # full_std / sorted_full are NOT shipped through the pair join — the
+    # fused UDF derives them from the components per batch (with
+    # factorize-level memoization), cutting the Arrow payload per pair from
+    # 2x(5+geo) strings to 2x(3+geo)
     exprs = [
         F.col("first_std"),
         F.col("middle_std"),
         F.col("last_std"),
-        F.col("full_std"),
-        F.col("sorted_full"),
     ]
     exprs += [F.col(f"{g}_std").alias(f"geo{i}") for i, g in enumerate(config.geo_fields)]
     if config.use_birthdate:
@@ -90,7 +92,7 @@ def score_pairs(pairs: DataFrame, config: MatcherConfig | None = None) -> DataFr
         )
     udf = make_component_scores_udf(config.base_similarity, geo_count)
 
-    struct_fields = ["first_std", "middle_std", "last_std", "full_std", "sorted_full"] + [
+    struct_fields = ["first_std", "middle_std", "last_std"] + [
         f"geo{i}" for i in range(geo_count)
     ]
     side1 = F.struct(*[F.col(f"s1.{f}") for f in struct_fields])
