@@ -511,6 +511,29 @@ def q29_parse_full_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_match_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component score breakdown for every candidate pair (A2/A5/F9
+    surface) with an exact SQL oracle: per-component Jaro-Winkler AND the
+    asymmetric Monge-Elkan-JW (mean over tokens1 of max over tokens2) are
+    both rendered in pure SQL over the shared recursive-CTE JW. Monge-Elkan
+    with the DL secondary stays pytest-pinned (DP-in-SQL is the one
+    remaining inexpressible kernel)."""
+    from name_matching_spark.operators.normalize import LinkageSchema
+    from name_matching_spark.plans.linkage import dedup_table
+
+    person = _person_df(spark, sf_dir)
+    schema = LinkageSchema(
+        id_col="record_id", geo_fields=["province_name", "city_name"]
+    )
+    out = dedup_table(person, schema, keep_non_match=True)
+    return out.select(
+        "id1", "id2",
+        "score_first_name", "score_middle_name", "score_last_name",
+        "score_full_name_sorted", "score_monge_elkan_jw",
+        "score_birthdate", "score_geography", "score_name_score",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -547,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_affix_strip": q27_affix_strip,
         "q28_lsh_near_dupes": q28_lsh_near_dupes,
         "q29_parse_full_names": q29_parse_full_names,
+        "q30_match_components": q30_match_components,
     }
 
 
@@ -557,25 +581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _PERSON_CTE = f"WITH person AS ({PERSON_SQL})"
 
 
-def _q15_oracle() -> str:
-    """Exact oracle of the flagship fuzzy pipeline, pure SQL.
-
-    Standardized components are derived analytically from the PERSON_SQL
-    pools (names are ASCII so standardize == lower; middle/last from the
-    same CASE tables the Spark parse UDF reproduces — the q12 oracle proves
-    that equivalence). Blocking mirrors the 'phonetic' pass (q14 proves the
-    soundex rendition + pair census). Jaro-Winkler runs ONCE per DISTINCT
-    component string pair through the recursive-CTE rendition of
-    ``oracle_sql/jw.py`` (bit-equal to the kernel by
-    tests/test_sql_oracle_jw.py) and joins back — the same memoization the
-    Spark kernels apply per Arrow batch. Float expression order replicates
-    ``operators/score_pairs.py`` exactly, including the Python-float weight
-    sum 1.0000000000000002 used as the name-score denominator.
-    """
-    from name_matching_spark.oracle_sql.jw import jw_cte_sql
-
-    total_w = sum([0.4, 0.2, 0.3, 0.1])  # == 1.0000000000000002, as Python sums it
-    return f"""WITH person AS ({PERSON_SQL}),
+# Shared WITH-chain prefix for the linkage oracles (q15/q30): analytic
+# standardized components, phonetic blocking, all within-block pairs with
+# every payload string both sides need.
+_LINKAGE_ORACLE_PREFIX = f"""person AS ({PERSON_SQL}),
 norm AS (
     SELECT record_id,
            lower(first_name) AS first_std,
@@ -601,11 +610,33 @@ pairs AS (
            a.middle_std AS md1, b.middle_std AS md2,
            a.last_std AS ls1, b.last_std AS ls2,
            a.sorted_full AS sf1, b.sorted_full AS sf2,
+           a.full_std AS fl1, b.full_std AS fl2,
            a.birthdate_std AS bd1, b.birthdate_std AS bd2,
            a.geo0 AS g0a, b.geo0 AS g0b,
            a.geo1 AS g1a, b.geo1 AS g1b
     FROM keyed a JOIN keyed b
-      ON a.block_key = b.block_key AND a.record_id < b.record_id),
+      ON a.block_key = b.block_key AND a.record_id < b.record_id)"""
+
+
+def _q15_oracle() -> str:
+    """Exact oracle of the flagship fuzzy pipeline, pure SQL.
+
+    Standardized components are derived analytically from the PERSON_SQL
+    pools (names are ASCII so standardize == lower; middle/last from the
+    same CASE tables the Spark parse UDF reproduces — the q12 oracle proves
+    that equivalence). Blocking mirrors the 'phonetic' pass (q14 proves the
+    soundex rendition + pair census). Jaro-Winkler runs ONCE per DISTINCT
+    component string pair through the recursive-CTE rendition of
+    ``oracle_sql/jw.py`` (bit-equal to the kernel by
+    tests/test_sql_oracle_jw.py) and joins back — the same memoization the
+    Spark kernels apply per Arrow batch. Float expression order replicates
+    ``operators/score_pairs.py`` exactly, including the Python-float weight
+    sum 1.0000000000000002 used as the name-score denominator.
+    """
+    from name_matching_spark.oracle_sql.jw import jw_cte_sql
+
+    total_w = sum([0.4, 0.2, 0.3, 0.1])  # == 1.0000000000000002, as Python sums it
+    return f"""WITH {_LINKAGE_ORACLE_PREFIX},
 sp AS (
     SELECT f1 AS s1, f2 AS s2 FROM pairs
     UNION SELECT md1, md2 FROM pairs
@@ -641,6 +672,71 @@ classed AS (
     FROM final)
 SELECT id1, id2, score, classification
 FROM classed WHERE classification <> 'non_match'
+"""
+
+
+def _q30_oracle() -> str:
+    """Component-breakdown oracle: q15's prefix + Monge-Elkan-JW in pure
+    SQL — tokens1 (with position, so duplicate tokens keep multiplicity in
+    the mean) x tokens2 (distinct, max is multiplicity-blind), token-pair
+    JW via the SAME recursive CTE as the component scores, then
+    max-per-(pair, pos1) and mean-per-pair (``src/matcher.py:270-319``;
+    kernel form ``kernels.batch_monge_elkan``)."""
+    from name_matching_spark.oracle_sql.jw import jw_cte_sql
+
+    total_w = sum([0.4, 0.2, 0.3, 0.1])
+    return f"""WITH {_LINKAGE_ORACLE_PREFIX},
+mp AS (SELECT DISTINCT fl1, fl2 FROM pairs),
+tok1_pos AS (
+    SELECT fl1, fl2,
+           unnest(range(1, len(string_split(fl1, ' ')) + 1)) AS pos1
+    FROM mp),
+tok1 AS (
+    SELECT fl1, fl2, pos1, string_split(fl1, ' ')[pos1] AS tok
+    FROM tok1_pos
+    WHERE string_split(fl1, ' ')[pos1] <> ''),
+tok2 AS (
+    SELECT DISTINCT fl1, fl2, t.tok
+    FROM mp, LATERAL unnest(string_split(fl2, ' ')) AS t(tok)
+    WHERE t.tok <> ''),
+sp AS (
+    SELECT f1 AS s1, f2 AS s2 FROM pairs
+    UNION SELECT md1, md2 FROM pairs
+    UNION SELECT ls1, ls2 FROM pairs
+    UNION SELECT sf1, sf2 FROM pairs
+    UNION SELECT g0a, g0b FROM pairs
+    UNION SELECT g1a, g1b FROM pairs
+    UNION SELECT a.tok, b.tok
+          FROM tok1 a JOIN tok2 b ON a.fl1 = b.fl1 AND a.fl2 = b.fl2),
+{jw_cte_sql("sp")},
+me_max AS (
+    SELECT a.fl1, a.fl2, a.pos1, max(j.jw) AS mx
+    FROM tok1 a
+    JOIN tok2 b ON a.fl1 = b.fl1 AND a.fl2 = b.fl2
+    JOIN jw j ON j.s1 = a.tok AND j.s2 = b.tok
+    GROUP BY a.fl1, a.fl2, a.pos1),
+me AS (SELECT fl1, fl2, sum(mx) / count(*) AS me_jw
+       FROM me_max GROUP BY fl1, fl2)
+SELECT p.id1, p.id2,
+       jf.jw AS score_first_name,
+       jm.jw AS score_middle_name,
+       jl.jw AS score_last_name,
+       js.jw AS score_full_name_sorted,
+       coalesce(me.me_jw, 0.0::DOUBLE) AS score_monge_elkan_jw,
+       CAST(CASE WHEN p.bd1 IS NOT DISTINCT FROM p.bd2
+                 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS score_birthdate,
+       (jg0.jw + jg1.jw) / 2 AS score_geography,
+       (jf.jw * 0.4::DOUBLE + jm.jw * 0.2::DOUBLE
+        + jl.jw * 0.3::DOUBLE + js.jw * 0.1::DOUBLE)
+         / {total_w!r}::DOUBLE AS score_name_score
+FROM pairs p
+JOIN jw jf  ON jf.s1 = p.f1  AND jf.s2 = p.f2
+JOIN jw jm  ON jm.s1 = p.md1 AND jm.s2 = p.md2
+JOIN jw jl  ON jl.s1 = p.ls1 AND jl.s2 = p.ls2
+JOIN jw js  ON js.s1 = p.sf1 AND js.s2 = p.sf2
+JOIN jw jg0 ON jg0.s1 = p.g0a AND jg0.s2 = p.g0b
+JOIN jw jg1 ON jg1.s1 = p.g1a AND jg1.s2 = p.g1b
+LEFT JOIN me ON me.fl1 = p.fl1 AND me.fl2 = p.fl2
 """
 
 
@@ -788,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
             FROM census WHERE n > 1
         """,
         "q15_match_scores": _q15_oracle(),
+        "q30_match_components": _q30_oracle(),
         "q16_clusters": _PERSON_CTE + f""",
             named AS (SELECT record_id,
                 trim(lower(first_name) || ' ' ||
