@@ -534,6 +534,22 @@ def q30_match_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q31_monge_elkan_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monge-Elkan with the full-Damerau-Levenshtein secondary (A5/F4) —
+    the last kernel without a driver oracle, now exact: the alphabet-
+    indexed DL DP runs as pure recursive-CTE SQL (``oracle_sql/dl.py``,
+    prefix-min row scan) over distinct token pairs."""
+    from name_matching_spark.operators.normalize import LinkageSchema
+    from name_matching_spark.plans.linkage import dedup_table
+
+    person = _person_df(spark, sf_dir)
+    schema = LinkageSchema(
+        id_col="record_id", geo_fields=["province_name", "city_name"]
+    )
+    out = dedup_table(person, schema, keep_non_match=True)
+    return out.select("id1", "id2", "score_monge_elkan_dl")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -571,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_lsh_near_dupes": q28_lsh_near_dupes,
         "q29_parse_full_names": q29_parse_full_names,
         "q30_match_components": q30_match_components,
+        "q31_monge_elkan_dl": q31_monge_elkan_dl,
     }
 
 
@@ -740,6 +757,51 @@ LEFT JOIN me ON me.fl1 = p.fl1 AND me.fl2 = p.fl2
 """
 
 
+def _q31_oracle() -> str:
+    """Monge-Elkan-DL oracle: q30's token machinery with the recursive-CTE
+    full-DL distance as the secondary similarity
+    (``1 - dist/max(len)``, kernel op order of
+    ``kernels.batch_dl_similarity``; tokens are non-empty so the empty
+    rules reduce to the plain ratio)."""
+    from name_matching_spark.oracle_sql.dl import dl_cte_sql
+
+    return f"""WITH {_LINKAGE_ORACLE_PREFIX},
+mp AS (SELECT DISTINCT fl1, fl2 FROM pairs),
+tok1_pos AS (
+    SELECT fl1, fl2,
+           unnest(range(1, len(string_split(fl1, ' ')) + 1)) AS pos1
+    FROM mp),
+tok1 AS (
+    SELECT fl1, fl2, pos1, string_split(fl1, ' ')[pos1] AS tok
+    FROM tok1_pos
+    WHERE string_split(fl1, ' ')[pos1] <> ''),
+tok2 AS (
+    SELECT DISTINCT fl1, fl2, t.tok
+    FROM mp, LATERAL unnest(string_split(fl2, ' ')) AS t(tok)
+    WHERE t.tok <> ''),
+dp AS (
+    SELECT DISTINCT a.tok AS s1, b.tok AS s2
+    FROM tok1 a JOIN tok2 b ON a.fl1 = b.fl1 AND a.fl2 = b.fl2),
+{dl_cte_sql("dp")},
+dsim AS (
+    SELECT s1, s2,
+           1.0::DOUBLE - dist / greatest(greatest(length(s1), length(s2)), 1) AS sim
+    FROM dl),
+me_max AS (
+    SELECT a.fl1, a.fl2, a.pos1, max(d.sim) AS mx
+    FROM tok1 a
+    JOIN tok2 b ON a.fl1 = b.fl1 AND a.fl2 = b.fl2
+    JOIN dsim d ON d.s1 = a.tok AND d.s2 = b.tok
+    GROUP BY a.fl1, a.fl2, a.pos1),
+me AS (SELECT fl1, fl2, sum(mx) / count(*) AS me_dl
+       FROM me_max GROUP BY fl1, fl2)
+SELECT p.id1, p.id2,
+       coalesce(me.me_dl, 0.0::DOUBLE) AS score_monge_elkan_dl
+FROM pairs p
+LEFT JOIN me ON me.fl1 = p.fl1 AND me.fl2 = p.fl2
+"""
+
+
 def _q25_oracle() -> str:
     """Exact oracle for hyperplane-LSH top-k: the engine's seeded planes
     (``operators/similarity_search.py:_seeded_planes``, dim=64 n_planes=4
@@ -885,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q15_match_scores": _q15_oracle(),
         "q30_match_components": _q30_oracle(),
+        "q31_monge_elkan_dl": _q31_oracle(),
         "q16_clusters": _PERSON_CTE + f""",
             named AS (SELECT record_id,
                 trim(lower(first_name) || ' ' ||

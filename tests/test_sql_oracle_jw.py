@@ -37,3 +37,36 @@ def test_sql_jw_equals_scalar_oracle_bitexact(pairs):
     for s1, s2 in pairs:
         want = jaro_winkler_similarity(s1, s2)
         assert got[(s1, s2)] == want, (s1, s2, got[(s1, s2)], want)
+
+
+def sql_dl(pairs):
+    from name_matching_spark.oracle_sql.dl import dl_cte_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dp(s1 VARCHAR, s2 VARCHAR)")
+    con.executemany("INSERT INTO dp VALUES (?, ?)", pairs)
+    q = "WITH " + dl_cte_sql("dp") + " SELECT s1, s2, dist FROM dl"
+    return {(r[0], r[1]): r[2] for r in con.execute(q).fetchall()}
+
+
+def test_dl_golden_values():
+    got = sql_dl([("ca", "abc"), ("ab", "ba"), ("", ""), ("", "xy"),
+                  ("banana", "ananab"), ("abc", "abc")])
+    assert got[("ca", "abc")] == 2  # full DL, not OSA (tests/test_matcher.py:61)
+    assert got[("ab", "ba")] == 1
+    assert got[("", "")] == 0
+    assert got[("", "xy")] == 2
+    assert got[("abc", "abc")] == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="abcde' -", max_size=12),
+                          st.text(alphabet="abcde' -", max_size=12)),
+                min_size=1, max_size=40, unique=True))
+def test_sql_dl_equals_scalar_oracle(pairs):
+    from name_matching_spark.core.similarity import damerau_levenshtein_distance
+
+    got = sql_dl(pairs)
+    assert len(got) == len(pairs)
+    for s1, s2 in pairs:
+        assert got[(s1, s2)] == damerau_levenshtein_distance(s1, s2), (s1, s2)
