@@ -550,6 +550,25 @@ def q31_monge_elkan_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2", "score_monge_elkan_dl")
 
 
+def q32_link_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table linkage (the reference's match_db_tables shape,
+    src/name_matcher.py:496-578): even-id records linked against odd-id
+    records through ``link_tables`` — blocked cross pairs with fixed
+    orientation, scored by the same fused ensemble. Exact oracle reuses
+    q15's SQL tail over a parity-join candidate set."""
+    from name_matching_spark.operators.normalize import LinkageSchema
+    from name_matching_spark.plans.linkage import link_tables
+
+    person = _person_df(spark, sf_dir)
+    schema = LinkageSchema(
+        id_col="record_id", geo_fields=["province_name", "city_name"]
+    )
+    df1 = person.filter(F.col("record_id") % 2 == 0)
+    df2 = person.filter(F.col("record_id") % 2 == 1)
+    out = link_tables(df1, df2, schema, schema)
+    return out.select("id1", "id2", "score", "classification")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -588,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_parse_full_names": q29_parse_full_names,
         "q30_match_components": q30_match_components,
         "q31_monge_elkan_dl": q31_monge_elkan_dl,
+        "q32_link_tables": q32_link_tables,
     }
 
 
@@ -802,6 +822,32 @@ LEFT JOIN me ON me.fl1 = p.fl1 AND me.fl2 = p.fl2
 """
 
 
+def _q32_oracle() -> str:
+    """Cross-linkage oracle (link_tables): q15's scoring tail verbatim, but
+    candidates join the even-id side to the odd-id side (orientation fixed,
+    side 1 = df1 — no id1 < id2 constraint, matching
+    ``candidate_pairs_cross``)."""
+    q15 = _q15_oracle()
+    prefix = f"WITH {_LINKAGE_ORACLE_PREFIX},"
+    assert q15.startswith(prefix)
+    tail = q15[len(prefix):].replace("FROM pairs", "FROM pairsx")
+    pairsx = """
+pairsx AS (
+    SELECT a.record_id AS id1, b.record_id AS id2,
+           a.first_std AS f1, b.first_std AS f2,
+           a.middle_std AS md1, b.middle_std AS md2,
+           a.last_std AS ls1, b.last_std AS ls2,
+           a.sorted_full AS sf1, b.sorted_full AS sf2,
+           a.full_std AS fl1, b.full_std AS fl2,
+           a.birthdate_std AS bd1, b.birthdate_std AS bd2,
+           a.geo0 AS g0a, b.geo0 AS g0b,
+           a.geo1 AS g1a, b.geo1 AS g1b
+    FROM keyed a JOIN keyed b
+      ON a.block_key = b.block_key
+     AND a.record_id % 2 = 0 AND b.record_id % 2 = 1),"""
+    return prefix + pairsx + tail
+
+
 def _q25_oracle() -> str:
     """Exact oracle for hyperplane-LSH top-k: the engine's seeded planes
     (``operators/similarity_search.py:_seeded_planes``, dim=64 n_planes=4
@@ -948,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_match_scores": _q15_oracle(),
         "q30_match_components": _q30_oracle(),
         "q31_monge_elkan_dl": _q31_oracle(),
+        "q32_link_tables": _q32_oracle(),
         "q16_clusters": _PERSON_CTE + f""",
             named AS (SELECT record_id,
                 trim(lower(first_name) || ' ' ||
