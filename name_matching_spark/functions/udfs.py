@@ -130,28 +130,34 @@ def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_c
     else:
         raise ValueError(f"unknown base_similarity: {base_similarity}")
 
+    import numpy as np
+
+    payload_cols = ["first_std", "middle_std", "last_std"] + [
+        f"geo{g}" for g in range(geo_field_count)
+    ]
+
     def _full_and_sorted(side: pd.DataFrame):
         """full = " ".join(filter(None, comps)) (exact: interior double
-        spaces inside components are preserved); sorted form computed once
-        per DISTINCT full value (Python sorted == codepoint order on these
-        folded strings, the scalar oracle's own tokenizer semantics)."""
-        import numpy as np
-
-        f = side["first_std"].fillna("").to_numpy(object)
-        m = side["middle_std"].fillna("").to_numpy(object)
-        l = side["last_std"].fillna("").to_numpy(object)  # noqa: E741
-        full = np.array(
-            [" ".join(x for x in parts if x) for parts in zip(f, m, l)],
+        spaces inside components are preserved); built + token-sorted once
+        per DISTINCT component triple (Python sorted == codepoint order on
+        these folded strings, the scalar oracle's own tokenizer
+        semantics)."""
+        key = (
+            side["first_std"].fillna("")
+            + "\x1f" + side["middle_std"].fillna("")
+            + "\x1f" + side["last_std"].fillna("")
+        )
+        codes, uniq = pd.factorize(key.to_numpy(object))
+        full_uniq = np.array(
+            [" ".join(x for x in u.split("\x1f") if x) for u in uniq],
             dtype=object,
         )
-        codes, uniq = pd.factorize(full)
         sorted_uniq = np.array(
-            [" ".join(sorted(u.split())) for u in uniq], dtype=object
+            [" ".join(sorted(f.split())) for f in full_uniq], dtype=object
         )
-        return full, sorted_uniq[codes]
+        return full_uniq[codes], sorted_uniq[codes]
 
-    @pandas_udf(COMPONENT_SCORES_SCHEMA)
-    def component_scores(side1: pd.DataFrame, side2: pd.DataFrame) -> pd.DataFrame:
+    def _compute(side1: pd.DataFrame, side2: pd.DataFrame) -> dict:
         n = len(side1)
         out = {}
         for comp in ("first_std", "middle_std", "last_std"):
@@ -178,7 +184,39 @@ def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_c
                 acc = sims if acc is None else acc + sims
             out["geography"] = acc / geo_field_count
         else:
-            out["geography"] = pd.Series([float("nan")] * n, dtype="float64")
+            out["geography"] = np.full(n, np.nan, dtype=np.float64)
+        return out
+
+    @pandas_udf(COMPONENT_SCORES_SCHEMA)
+    def component_scores(side1: pd.DataFrame, side2: pd.DataFrame) -> pd.DataFrame:
+        n = len(side1)
+        # PAIR-level memoization across the whole fused computation: name
+        # pairs repeat massively inside blocks, so every kernel runs on the
+        # distinct payload pairs only and results scatter back (the Arrow
+        # transfer is unavoidable; the Python/numpy work is not)
+        uniq_idx = inv = None
+        if n >= 64:
+            k1 = k2 = None
+            for c in payload_cols:
+                s1 = side1[c].fillna("")
+                s2 = side2[c].fillna("")
+                k1 = s1 if k1 is None else k1 + "\x1f" + s1
+                k2 = s2 if k2 is None else k2 + "\x1f" + s2
+            ca, ua = pd.factorize(k1.to_numpy(object))
+            cb, ub = pd.factorize(k2.to_numpy(object))
+            pair_code = ca.astype(np.int64) * np.int64(len(ub)) + cb
+            uidx, iv = np.unique(pair_code, return_index=True, return_inverse=True)[1:]
+            if len(uidx) <= n * 0.8:
+                uniq_idx, inv = uidx, iv
+
+        if uniq_idx is None:
+            out = _compute(side1, side2)
+        else:
+            u = _compute(
+                side1.iloc[uniq_idx].reset_index(drop=True),
+                side2.iloc[uniq_idx].reset_index(drop=True),
+            )
+            out = {k: v[inv] for k, v in u.items()}
 
         return pd.DataFrame(
             {
