@@ -569,6 +569,35 @@ def q32_link_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2", "score", "classification")
 
 
+def q33_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character n-gram (shingle) set Jaccard near-dup pairs — the
+    order-sensitive complement of q18's token-set form."""
+    from name_matching_spark.operators.dedup import shingle_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shingle_jaccard_pairs(docs, threshold=0.5, shingle_len=5)
+    return out.select("id1", "id2", "intersection", "size1", "size2",
+                      F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def q34_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash k-gram windows, min
+    per full window, distinct) — the plagiarism/near-dup index shape."""
+    from name_matching_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnowing_fingerprints(docs, shingle_len=5, window=4)
+
+
+def q35_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token accounting per document (corpus token
+    budgeting)."""
+    from name_matching_spark.operators.text_analysis import bpe_ish_token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_ish_token_stats(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -608,6 +637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_match_components": q30_match_components,
         "q31_monge_elkan_dl": q31_monge_elkan_dl,
         "q32_link_tables": q32_link_tables,
+        "q33_shingle_jaccard": q33_shingle_jaccard,
+        "q34_winnowing": q34_winnowing,
+        "q35_bpe_tokens": q35_bpe_tokens,
     }
 
 
@@ -616,6 +648,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _PERSON_CTE = f"WITH person AS ({PERSON_SQL})"
+
+
+def _bpe_pattern_sql() -> str:
+    from name_matching_spark.operators.text_analysis import BPE_ISH_PATTERN
+
+    return BPE_ISH_PATTERN.replace("'", "''")
+
+
+BPE_ISH_SQL = _bpe_pattern_sql()
 
 
 # Shared WITH-chain prefix for the linkage oracles (q15/q30): analytic
@@ -1163,6 +1204,58 @@ def oracle_sql() -> dict[str, str]:
                     CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0 ELSE dot / (n1 * n2) END AS cosine
                   FROM s)
             SELECT id1, id2, round(cosine, 6) AS cosine FROM c WHERE cosine >= 0.3
+        """,
+        "q33_shingle_jaccard": """
+            WITH d AS (SELECT doc_id,
+                              lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+                       FROM documents),
+            sh0 AS (SELECT doc_id,
+                           substr(n, unnest(range(1, greatest(length(n) - 4, 1) + 1)), 5) AS shingle
+                    FROM d),
+            sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id1, id2, i AS intersection, s1.sz AS size1, s2.sz AS size2,
+                   round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+            WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+        """,
+        "q34_winnowing": """
+            WITH d AS (SELECT doc_id,
+                              lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+                       FROM documents),
+            pos AS (SELECT doc_id, n,
+                           unnest(range(1, greatest(length(n) - 4, 1) + 1)) AS i
+                    FROM d),
+            sh AS (SELECT doc_id, i,
+                          substr(md5(substr(n, i, 5)), 1, 16) AS h
+                   FROM pos),
+            win AS (SELECT doc_id, i,
+                           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                           count(*) OVER (PARTITION BY doc_id) AS nsh
+                    FROM sh)
+            SELECT DISTINCT doc_id, wmin AS fingerprint
+            FROM win WHERE i <= nsh - 4 + 1
+        """,
+        "q35_bpe_tokens": f"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+                     AS ws_tokens,
+                   CAST(len(list_filter(regexp_extract_all(text,
+                        '{BPE_ISH_SQL}'), x -> trim(x) <> ''))
+                     AS BIGINT) AS bpe_ish_tokens,
+                   len(list_filter(regexp_extract_all(text,
+                        '{BPE_ISH_SQL}'), x -> trim(x) <> ''))
+                     / greatest(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END, 1)
+                     AS tokens_per_word
+            FROM documents
         """,
         "q27_affix_strip": _PERSON_CTE + """,
             d AS (SELECT record_id,

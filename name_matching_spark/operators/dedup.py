@@ -20,10 +20,12 @@ __all__ = [
     "exact_dedup",
     "tokenize_docs",
     "token_jaccard_pairs",
+    "shingle_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_signatures",
     "simhash_near_dupes",
+    "winnowing_fingerprints",
 ]
 
 
@@ -160,6 +162,113 @@ def token_jaccard_pairs(
         .select("id1", "id2", "intersection", "size1", "size2", "jaccard")
     )
     return out
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    shingle_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """All document pairs with CHARACTER n-gram (shingle) set Jaccard >=
+    threshold — the order-sensitive complement of the token-set form
+    (:func:`token_jaccard_pairs`): word reordering changes shingles but not
+    tokens, minor in-word edits change few shingles.
+
+    Same relational shape: distinct shingles -> self-join on shingle ->
+    intersection counts -> sizes. ``max_shingle_df`` (default 1000) prunes
+    ultra-common shingles from CANDIDATE GENERATION only; intersections are
+    re-counted on the full shingle sets (exact values; a pair is missed only
+    if EVERY shared shingle exceeds the cap).
+    """
+    sh = _shingles(df, text_col, id_col, shingle_len)
+    join_sh = sh
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle").count()
+            .filter(F.col("count") <= int(max_shingle_df))
+            .select("shingle")
+        )
+        join_sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = join_sh.select(F.col(id_col).alias("id1"), "shingle")
+    b = join_sh.select(F.col(id_col).alias("id2"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    t1 = sh.select(F.col(id_col).alias("id1"), "shingle")
+    t2 = sh.select(F.col(id_col).alias("id2"), "shingle")
+    inter = (
+        cand.join(t1, "id1")
+        .join(t2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("intersection"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id1", "set_size": "size1"}), "id1")
+        .join(sizes.withColumnsRenamed({id_col: "id2", "set_size": "size2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("size1") + F.col("size2") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "intersection", "size1", "size2", "jaccard")
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    shingle_len: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every character k-gram (rolling-hash analog: first 16 md5 hex chars,
+    portable), slide a ``window``-hash window, keep the minimum hash of
+    each full window, emit the DISTINCT selected hashes per document.
+
+    Guarantee: any two documents sharing a run of ``window + shingle_len - 1``
+    identical characters share at least one fingerprint — the standard
+    near-dup/plagiarism index at a fraction of the shingle count (expected
+    density 2/(window+1)). Pure column expressions + one window function;
+    the DuckDB oracle reproduces it exactly.
+    """
+    from pyspark.sql.window import Window
+
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(lower(regexp_replace({text_col}, '\\\\s+', ' '))) - {shingle_len - 1}, 1)), "
+                    f"i -> substring(lower(regexp_replace({text_col}, '\\\\s+', ' ')), i, {shingle_len}))"
+                )
+            ).alias("pos", "shingle"),
+        )
+    ).select(
+        id_col, "pos",
+        F.substring(F.md5(F.col("shingle")), 1, 16).alias("h"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    n = Window.partitionBy(id_col)
+    return (
+        sh.withColumn("wmin", F.min("h").over(w))
+        .withColumn("nsh", F.count("*").over(n))
+        .filter(F.col("pos") <= F.col("nsh") - window)  # pos is 0-based
+        .select(F.col(id_col), F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
 
 
 def _shingles(df: DataFrame, text_col: str, id_col: str, shingle_len: int) -> DataFrame:

@@ -21,11 +21,19 @@ def _is_any(word: Column, values: list[str]) -> Column:
 
 __all__ = [
     "token_count",
+    "bpe_ish_token_stats",
     "quality_features",
     "language_id",
     "fingerprint",
     "LANG_MARKERS",
 ]
+
+# GPT-2-style pre-tokenizer approximation, lookahead-free so the SAME
+# pattern runs under Java regex (Spark) and RE2 (DuckDB): contractions,
+# optionally-space-prefixed letter runs / digit runs / punctuation runs,
+# residual whitespace. (The real GPT-2 pattern's \s+(?!\S) needs lookahead;
+# its absence only shifts how trailing whitespace groups, not counts.)
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
 def token_count(text: Column) -> Column:
@@ -33,6 +41,31 @@ def token_count(text: Column) -> Column:
     trimming; empty text -> 0)."""
     trimmed = F.trim(text)
     return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token accounting for LLM-corpus budgeting: whitespace tokens AND a
+    BPE-ish pre-tokenizer count (``BPE_ISH_PATTERN``, GPT-2-flavored,
+    whitespace pieces excluded) per document, plus their ratio (a proxy for
+    tokens-per-word expansion). Pure ``regexp_extract_all`` column
+    expressions — no tokenizer library, identical under Java regex and
+    RE2 so the oracle is exact."""
+    # F.lit pattern (not F.expr string-splicing) so backslashes reach the
+    # regex engine untouched
+    pieces = F.filter(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)),
+        lambda x: F.trim(x) != "",
+    )
+    bpe = F.size(pieces)
+    ws = token_count(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+        (bpe / F.greatest(ws, F.lit(1))).alias("tokens_per_word"),
+    )
 
 
 def quality_features(
