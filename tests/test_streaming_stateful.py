@@ -54,3 +54,41 @@ def test_streaming_emits_keys_once(spark, tmp_path):
         assert sorted(keys) == ["A", "B", "C"]  # A exactly once
     finally:
         q.stop()
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Duplicate content arriving in a LATER micro-batch is suppressed by
+    keyed state; batch mode gives the same first-occurrence semantics."""
+    from name_matching_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(0, "alpha beta"), (1, "gamma")], schema)
+    b0.write.parquet(str(src / "b0"))
+
+    stream = spark.readStream.schema(b0.schema).parquet(str(src / "*"))
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one dup of doc 0's content, one new doc
+        b1 = spark.createDataFrame([(2, "alpha beta"), (3, "delta")], schema)
+        b1.write.parquet(str(src / "b1"))
+        q.processAllAvailable()
+        rows = spark.sql("select * from dedup_out").collect()
+        texts = sorted(r["text"] for r in rows)
+        assert texts == ["alpha beta", "delta", "gamma"]  # dup dropped
+        assert all(r["content_hash"] for r in rows)
+    finally:
+        q.stop()
+
+    # batch form: same distinct-content keeper behavior
+    batch = spark.createDataFrame(
+        [(0, "alpha beta"), (2, "alpha beta"), (1, "gamma")], schema
+    )
+    got = streaming_exact_dedup(batch).collect()
+    assert sorted(r["doc_id"] for r in got) == [0, 1]
