@@ -598,6 +598,21 @@ def q35_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_ish_token_stats(docs)
 
 
+def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer -> inverted lists ->
+    n_probe nearest lists per query -> exact rerank. The scale path whose
+    plan is broadcast centroids + one shuffle on centroid id."""
+    from name_matching_spark.operators.similarity_search import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 50)
+    out = ivf_topk(queries, emb, k=3, n_centroids=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -640,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_shingle_jaccard": q33_shingle_jaccard,
         "q34_winnowing": q34_winnowing,
         "q35_bpe_tokens": q35_bpe_tokens,
+        "q36_ann_ivf": q36_ann_ivf,
     }
 
 
@@ -1179,6 +1195,37 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE rank <= 3
         """,
         "q25_ann_lsh": _q25_oracle(),
+        "q36_ann_ivf": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            en AS (SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS vn
+                   FROM e),
+            cent AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn
+                     FROM en ORDER BY vec_id LIMIT 16),
+            asn0 AS (SELECT en.vec_id, en.v, en.vn, cent.centroid_id,
+                       CASE WHEN en.vn = 0 OR cent.cn = 0 THEN 0.0
+                            ELSE list_sum(list_transform(range(1, len(en.v) + 1),
+                                   i -> en.v[i] * cent.cv[i])) / (en.vn * cent.cn) END AS csim
+                     FROM en, cent),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY csim DESC, centroid_id ASC) AS cr FROM asn0),
+            lists AS (SELECT vec_id AS neighbor_id, v AS nv, vn AS nn, centroid_id
+                      FROM ranked WHERE cr = 1),
+            probes AS (SELECT vec_id AS query_id, v AS qv, vn AS qn, centroid_id
+                       FROM ranked WHERE cr <= 4 AND vec_id < 50),
+            s AS (SELECT p.query_id, l.neighbor_id,
+                    CASE WHEN p.qn = 0 OR l.nn = 0 THEN 0.0
+                         ELSE list_sum(list_transform(range(1, len(p.qv) + 1),
+                                k -> p.qv[k] * l.nv[k])) / (p.qn * l.nn) END AS cosine
+                  FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id
+                  WHERE p.query_id <> l.neighbor_id),
+            w AS (SELECT query_id, neighbor_id, cosine,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+            FROM w WHERE rank <= 3
+        """,
         "q26_embedding_dupes": """
             WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             s AS (SELECT x.vec_id AS id1, y.vec_id AS id2,

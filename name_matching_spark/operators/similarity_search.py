@@ -21,6 +21,7 @@ __all__ = [
     "hyperplane_lsh_buckets",
     "lsh_topk",
     "lsh_near_dupes",
+    "ivf_topk",
 ]
 
 
@@ -114,6 +115,76 @@ def cosine_near_dupes(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flavored approximate top-k: a coarse quantizer partitions the
+    corpus into inverted lists; each query probes its ``n_probe`` nearest
+    centroids and exact-reranks only those lists.
+
+    The coarse quantizer here is deterministic — the ``n_centroids``
+    lowest-id corpus vectors — so results are reproducible and the oracle
+    can express the whole structure in SQL (a production deployment would
+    train centroids with KMeans and broadcast them; the plan shape —
+    broadcast centroids -> argmin assignment -> shuffle on centroid id ->
+    windowed rerank — is identical). Recall rises with ``n_probe``;
+    ``n_probe = n_centroids`` degenerates to exact search.
+
+    Shuffle shape at scale: centroid set broadcast to both sides, one
+    shuffle on ``centroid_id`` for the probe join (each inverted list is a
+    partition-local scan), one window for top-k.
+    """
+    cent = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cn"),
+        )
+    )
+
+    def _nearest(df: DataFrame, side_id: str, keep: int) -> DataFrame:
+        """Attach the ``keep`` nearest centroid ids (by cosine, ties on
+        centroid id) to every row of ``df``."""
+        v = df.select(
+            F.col(id_col).alias(side_id), F.col(vec_col).alias("v"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("vn"),
+        )
+        scored = v.join(F.broadcast(cent), how="cross").withColumn(
+            "csim", _paired_cosine(_dot(F.col("v"), F.col("cv")), F.col("vn"), F.col("cn"))
+        )
+        w = Window.partitionBy(side_id).orderBy(F.desc("csim"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= keep)
+            .select(side_id, "v", "vn", "centroid_id")
+        )
+
+    lists = _nearest(corpus, "neighbor_id", 1)
+    probes = _nearest(queries, "query_id", n_probe)
+    scored = (
+        probes.withColumnsRenamed({"v": "qv", "vn": "qn"})
+        .join(lists.withColumnsRenamed({"v": "nv", "vn": "nn"}), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _paired_cosine(_dot(F.col("qv"), F.col("nv")), F.col("qn"), F.col("nn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

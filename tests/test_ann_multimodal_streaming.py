@@ -188,3 +188,29 @@ def test_lsh_near_dupes_equals_exact_at_recall1_config(spark, vectors):
     assert len(exact) > 10  # the tight cluster produces real work
     for k, v in exact.items():
         assert banded[k] == pytest.approx(v, abs=1e-12)
+
+
+def test_ivf_topk_recall_and_degenerate_exactness(spark, vectors):
+    from name_matching_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    _, df = vectors
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(df, df, k=3).collect()
+    }
+    # n_probe == n_centroids degenerates to exact search
+    full_probe = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(df, df, k=3, n_centroids=8, n_probe=8).collect()
+    }
+    assert full_probe == exact
+    # narrow probe keeps high recall on the clustered fixture
+    narrow = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(df, df, k=3, n_centroids=8, n_probe=3).collect()
+    }
+    hits = sum(1 for kk, v in exact.items() if narrow.get(kk) == v)
+    assert hits / len(exact) >= 0.7
