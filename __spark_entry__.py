@@ -613,6 +613,33 @@ def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping windows (batch form of the streaming aggregation):
+    every event lands in window/slide overlapping buckets."""
+    from name_matching_spark.streaming.events import sliding_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sliding_event_counts(ev, "1 hour", "15 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events",
+    )
+
+
+def q38_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per event type (gap-merged, data-driven bounds) —
+    oracled by classic lag/cumsum sessionization SQL."""
+    from name_matching_spark.streaming.events import session_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_event_counts(ev, gap_duration="30 minutes")
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "event_type", "n_events",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -656,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_winnowing": q34_winnowing,
         "q35_bpe_tokens": q35_bpe_tokens,
         "q36_ann_ivf": q36_ann_ivf,
+        "q37_sliding_windows": q37_sliding_windows,
+        "q38_session_windows": q38_session_windows,
     }
 
 
@@ -995,6 +1024,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "q37_sliding_windows": """
+            WITH e AS (SELECT ts, event_type,
+                              to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS base
+                       FROM events),
+            x AS (SELECT event_type,
+                         base - to_seconds(CAST(k * 900 AS BIGINT)) AS window_start
+                  FROM e, LATERAL unnest(range(0, 4)) AS t(k))
+            SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n_events
+            FROM x GROUP BY 1, 2
+        """,
+        "q38_session_windows": """
+            WITH o AS (SELECT ts, event_type,
+                              lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+                       FROM events),
+            f AS (SELECT ts, event_type,
+                         CASE WHEN prev IS NULL
+                                   OR epoch(ts) - epoch(prev) >= 1800 THEN 1
+                              ELSE 0 END AS new_session
+                  FROM o),
+            s AS (SELECT ts, event_type,
+                         sum(new_session) OVER (PARTITION BY event_type ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM f)
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                     AS session_end,
+                   event_type, count(*) AS n_events
+            FROM s GROUP BY event_type, sid
         """,
         "q09_eval_metrics": """
             WITH t AS (SELECT value / 200.0 AS score,

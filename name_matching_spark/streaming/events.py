@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_event_counts", "streaming_blocking_keys"]
+__all__ = [
+    "windowed_event_counts",
+    "sliding_event_counts",
+    "session_event_counts",
+    "streaming_blocking_keys",
+]
 
 
 def windowed_event_counts(
@@ -45,6 +50,59 @@ def windowed_event_counts(
             F.col(type_col),
             "n_events",
             "sum_value",
+        )
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sliding (hopping) window counts per event type — each event lands in
+    ``window/slide`` overlapping windows. Batch + streaming unified; the
+    watermark bounds state on streams."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window_duration, slide_duration).alias("w"),
+            F.col(type_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(type_col),
+            "n_events",
+        )
+    )
+
+
+def session_event_counts(
+    events: DataFrame,
+    gap_duration: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Session windows per key: events closer than ``gap_duration`` merge
+    into one session (dynamic, data-driven window bounds — the shape
+    activity/bot-detection pipelines need). Batch + streaming unified."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap_duration).alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(key_col),
+            "n_events",
         )
     )
 
