@@ -640,6 +640,52 @@ def q38_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_length_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median via window rank (deterministic pick at
+    position ceil(n/2) ordered by (value, id)) — engine-agnostic exact
+    quantile, no interpolation-formula divergence."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lens = docs.select(
+        "lang", F.col("doc_id"), F.length("text").alias("len")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("len"), F.asc("doc_id"))
+    n = Window.partitionBy("lang")
+    return (
+        lens.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(n))
+        .filter(F.col("rn") == F.ceil(F.col("cnt") / 2))
+        .select("lang", F.col("len").cast("long").alias("median_len"),
+                F.col("cnt").alias("n_docs"))
+    )
+
+
+def q40_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over order dimensions (grouping-sets surface —
+    absent in the reference, table stakes for an analytics engine)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q41_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (J6 anti half): customers with NO order above the
+    price bar, counted per segment."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -685,6 +731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_ann_ivf": q36_ann_ivf,
         "q37_sliding_windows": q37_sliding_windows,
         "q38_session_windows": q38_session_windows,
+        "q39_length_median": q39_length_median,
+        "q40_cube_rollup": q40_cube_rollup,
+        "q41_anti_join": q41_anti_join,
     }
 
 
@@ -1054,6 +1103,30 @@ def oracle_sql() -> dict[str, str]:
                      AS session_end,
                    event_type, count(*) AS n_events
             FROM s GROUP BY event_type, sid
+        """,
+        "q39_length_median": """
+            WITH l AS (SELECT lang, doc_id, length(text) AS len FROM documents),
+            r AS (SELECT lang, len,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY len ASC, doc_id ASC) AS rn,
+                         count(*) OVER (PARTITION BY lang) AS cnt
+                  FROM l)
+            SELECT lang, CAST(len AS BIGINT) AS median_len, cnt AS n_docs
+            FROM r WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT)
+        """,
+        "q40_cube_rollup": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "q41_anti_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+            GROUP BY c_mktsegment
         """,
         "q09_eval_metrics": """
             WITH t AS (SELECT value / 200.0 AS score,
