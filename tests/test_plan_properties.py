@@ -54,3 +54,18 @@ def test_hot_census_is_broadcast(spark):
     out = dedup_table(df, LinkageSchema(id_col="record_id"), keep_non_match=True)
     plan = _formatted_plan(out)
     assert "BroadcastHashJoin" in plan
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    """Filters reach the parquet scan and projection prunes columns (the
+    SURVEY §4 'push down and prune' contract): q19's doc_id < 100 must
+    appear in PushedFilters and the scan must not read source/lang."""
+    import __spark_entry__ as e
+
+    df = e.q19_minhash(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, plan
+    scan = scan_lines[0]
+    assert "LessThan(doc_id,100)" in scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in scan
