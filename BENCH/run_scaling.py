@@ -42,6 +42,13 @@ src = sys.argv[2]
 spark = get_spark("scaling-%%d" %% cpus, master="local[%%d]" %% cpus,
                   shuffle_partitions=cpus * 6,
                   extra_conf={"spark.ui.enabled": "false",
+                              # pin the Arrow batch cap so every
+                              # parallelism level scores identical batch
+                              # shapes (partition sizes differ by level;
+                              # a larger cap would hand the low-core runs
+                              # extra batch-memoization, biasing the
+                              # efficiency ratio)
+                              "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
                               "spark.driver.memory": "12g"})
 spark.sparkContext.setLogLevel("ERROR")
 
