@@ -12,7 +12,6 @@ coarse quantizer, both cutting the candidate set before the exact rerank.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
@@ -40,32 +39,73 @@ def _dot(a: Column, b: Column) -> Column:
 def cosine_similarity_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns as a pure JVM
     column expression (sequential fold; 0.0 when either norm is 0). For
-    per-pair hot loops prefer :func:`_pair_cosine` (Arrow kernel)."""
+    per-pair hot loops prefer :func:`_with_pair_cosine` (Arrow kernel)."""
     dot = _dot(a, b)
     na = F.sqrt(_dot(a, a))
     nb = F.sqrt(_dot(b, b))
     return F.when((na == 0) | (nb == 0), 0.0).otherwise(dot / (na * nb))
 
 
-@F.pandas_udf(DoubleType())
-def _cosine_pairs_udf(v1: pd.Series, v2: pd.Series) -> pd.Series:
-    a = np.array(v1.tolist(), dtype=np.float64)
-    b = np.array(v2.tolist(), dtype=np.float64)
-    if a.size == 0:
-        return pd.Series(np.zeros(len(v1)), index=v1.index)
+def _batch_cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     dot = np.einsum("ij,ij->i", a, b)
     na = np.sqrt(np.einsum("ij,ij->i", a, a))
     nb = np.sqrt(np.einsum("ij,ij->i", b, b))
     denom = na * nb
-    out = np.where(denom == 0, 0.0, dot / np.where(denom == 0, 1.0, denom))
-    return pd.Series(out, index=v1.index)
+    return np.where(denom == 0, 0.0, dot / np.where(denom == 0, 1.0, denom))
 
 
-def _pair_cosine(v1: Column, v2: Column) -> Column:
-    """Batch cosine for the pair stage: one Arrow round trip, numpy einsum
-    across the batch. asNondeterministic stops CollapseProject from
-    re-evaluating the UDF for each downstream reference (filter + select)."""
-    return _cosine_pairs_udf.asNondeterministic()(v1, v2)
+def _list_col_matrix(col, n: int) -> np.ndarray | None:
+    """Arrow list column -> (n, dim) float64 matrix via the FLAT values
+    buffer (zero Python-object round trips — the pandas path materializes a
+    Series of per-row ndarrays, ~1000x slower at 64k-row batches). Returns
+    None when rows are ragged (caller falls back)."""
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    if n == 0 or flat.size % n:
+        return None
+    return flat.reshape(n, -1)
+
+
+def _with_pair_cosine(
+    df: DataFrame, v1: str, v2: str, out: str = "cosine",
+    drop: tuple = None,
+) -> DataFrame:
+    """Append a batched cosine(``v1``, ``v2``) column via ``mapInArrow`` —
+    the pair-stage hot loop reads the Arrow list buffers flat and runs one
+    einsum per batch. ``drop`` (default: both vector columns) controls
+    which inputs are projected away afterwards."""
+    import pyarrow as pa
+    from pyspark.sql.types import StructField, StructType
+
+    drop = (v1, v2) if drop is None else drop
+    keep = [f for f in df.schema.fields if f.name not in drop]
+    out_schema = StructType(keep + [StructField(out, DoubleType())])
+    keep_names = [f.name for f in keep]
+
+    def compute(batches):
+        for b in batches:
+            n = b.num_rows
+            c1 = b.column(b.schema.get_field_index(v1))
+            c2 = b.column(b.schema.get_field_index(v2))
+            m1 = _list_col_matrix(c1, n)
+            m2 = _list_col_matrix(c2, n)
+            if m1 is not None and m2 is not None and m1.shape == m2.shape:
+                cos = _batch_cosine_matrix(m1, m2)
+            else:  # ragged/empty fallback, row-at-a-time numpy
+                cos = np.zeros(n, dtype=np.float64)
+                p1 = c1.to_pylist()
+                p2 = c2.to_pylist()
+                for i in range(n):
+                    x = np.asarray(p1[i], dtype=np.float64)
+                    y = np.asarray(p2[i], dtype=np.float64)
+                    d = np.sqrt(x @ x) * np.sqrt(y @ y)
+                    cos[i] = 0.0 if d == 0 else (x @ y) / d
+            arrays = [b.column(b.schema.get_field_index(c)) for c in keep_names]
+            arrays.append(pa.array(cos, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(arrays, keep_names + [out])
+
+    return df.mapInArrow(compute, out_schema)
 
 
 def brute_force_topk(
@@ -88,13 +128,9 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
     )
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _pair_cosine(F.col("qv"), F.col("cv")),
-        )
+    scored = _with_pair_cosine(
+        q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id")),
+        "qv", "cv",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -121,11 +157,8 @@ def cosine_near_dupes(
         F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
     )
     return (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn(
-            "cosine",
-            _pair_cosine(F.col("v1"), F.col("v2")),
+        _with_pair_cosine(
+            a.crossJoin(b).filter(F.col("id1") < F.col("id2")), "v1", "v2"
         )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
@@ -171,8 +204,9 @@ def ivf_topk(
         v = df.select(
             F.col(id_col).alias(side_id), F.col(vec_col).alias("v"),
         )
-        scored = v.join(F.broadcast(cent), how="cross").withColumn(
-            "csim", _pair_cosine(F.col("v"), F.col("cv"))
+        scored = _with_pair_cosine(
+            v.join(F.broadcast(cent), how="cross"),
+            "v", "cv", out="csim", drop=("cv",),
         )
         w = Window.partitionBy(side_id).orderBy(F.desc("csim"), F.asc("centroid_id"))
         return (
@@ -183,14 +217,11 @@ def ivf_topk(
 
     lists = _nearest(corpus, "neighbor_id", 1)
     probes = _nearest(queries, "query_id", n_probe)
-    scored = (
+    scored = _with_pair_cosine(
         probes.withColumnsRenamed({"v": "qv"})
         .join(lists.withColumnsRenamed({"v": "nv"}), "centroid_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _pair_cosine(F.col("qv"), F.col("nv")),
-        )
+        .filter(F.col("query_id") != F.col("neighbor_id")),
+        "qv", "nv",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -294,12 +325,7 @@ def lsh_near_dupes(
         F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
     )
     return (
-        cand.join(v1, "id1")
-        .join(v2, "id2")
-        .withColumn(
-            "cosine",
-            _pair_cosine(F.col("v1"), F.col("v2")),
-        )
+        _with_pair_cosine(cand.join(v1, "id1").join(v2, "id2"), "v1", "v2")
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
@@ -325,13 +351,9 @@ def lsh_topk(
     c = b.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket",
     )
-    scored = (
-        a.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _pair_cosine(F.col("qv"), F.col("cv")),
-        )
+    scored = _with_pair_cosine(
+        a.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id")),
+        "qv", "cv",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
