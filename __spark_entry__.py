@@ -234,19 +234,37 @@ def q09_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics) over a derived labeled set."""
     from name_matching_spark.operators.evaluation import confusion_counts
 
+    # Type-pin the metric source: the raw ``value`` column is compared as
+    # DOUBLE with NO division anywhere (score >= 0.5 <=> value >= 100.0).
+    # The r1/r2 red cell: a row sits EXACTLY at the decision boundary
+    # (value = 100.0) and ``value / 200.0`` inherited value's physical
+    # parquet type on both engines — Spark ANSI vs DuckDB division can
+    # resolve a non-DOUBLE (decimal/float32) operand to different result
+    # types and flip the boundary row tp<->fn. Casting to double FIRST and
+    # eliminating the division removes every engine-specific arithmetic
+    # step from the predicate.
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        (F.col("value") / 200.0).alias("score"),
+        F.col("value").cast("double").alias("score"),
         F.when(F.col("event_type") == "purchase", "match").otherwise("non-match").alias(
             "true_label"
         ),
     )
-    counts = confusion_counts(ev, match_threshold=0.5)
+    counts = confusion_counts(ev, match_threshold=100.0).join(
+        ev.agg(
+            F.sum(
+                F.when(F.col("score") == F.lit(100.0), 1).otherwise(0)
+            ).alias("n_boundary")
+        )
+    )
     # metrics are emitted as parts-per-million via PURE INTEGER arithmetic —
     # identical in any engine, immune to double-rounding divergence
     # (round(double, 6) is HALF_UP on the exact decimal in Spark but
-    # float-multiply rounding in DuckDB; r1's only red driver cell)
+    # float-multiply rounding in DuckDB; r1's only red driver cell).
+    # n_boundary = rows exactly at the threshold: localizes any future
+    # boundary-resolution divergence to this diagnostic instead of a
+    # whole-row hash mismatch.
     return counts.select(
-        "tp", "fp", "fn", "tn",
+        "tp", "fp", "fn", "tn", "n_boundary",
         F.expr("CAST(tp * 1000000 DIV greatest(tp + fp, 1) AS BIGINT)").alias("precision_ppm"),
         F.expr("CAST(tp * 1000000 DIV greatest(tp + fn, 1) AS BIGINT)").alias("recall_ppm"),
     )
@@ -1129,17 +1147,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "q09_eval_metrics": """
-            WITH t AS (SELECT value / 200.0 AS score,
+            WITH t AS (SELECT CAST(value AS DOUBLE) AS score,
                               CASE WHEN event_type = 'purchase' THEN 'match'
                                    ELSE 'non-match' END AS true_label
                        FROM events),
             c AS (SELECT
-                sum(CASE WHEN score >= 0.5 AND true_label = 'match' THEN 1 ELSE 0 END) AS tp,
-                sum(CASE WHEN score >= 0.5 AND true_label <> 'match' THEN 1 ELSE 0 END) AS fp,
-                sum(CASE WHEN score < 0.5 AND true_label = 'match' THEN 1 ELSE 0 END) AS fn,
-                sum(CASE WHEN score < 0.5 AND true_label <> 'match' THEN 1 ELSE 0 END) AS tn
+                sum(CASE WHEN score >= 100.0 AND true_label = 'match' THEN 1 ELSE 0 END) AS tp,
+                sum(CASE WHEN score >= 100.0 AND true_label <> 'match' THEN 1 ELSE 0 END) AS fp,
+                sum(CASE WHEN score < 100.0 AND true_label = 'match' THEN 1 ELSE 0 END) AS fn,
+                sum(CASE WHEN score < 100.0 AND true_label <> 'match' THEN 1 ELSE 0 END) AS tn,
+                sum(CASE WHEN score = 100.0 THEN 1 ELSE 0 END) AS n_boundary
               FROM t)
-            SELECT tp, fp, fn, tn,
+            SELECT tp, fp, fn, tn, n_boundary,
                    CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT) AS precision_ppm,
                    CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT) AS recall_ppm
             FROM c
