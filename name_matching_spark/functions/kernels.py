@@ -20,6 +20,9 @@ from functools import lru_cache
 import numpy as np
 import pandas as pd
 
+# Java/RE2 \s equivalent: ASCII whitespace only (see batch_simhash).
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
 __all__ = [
     "batch_jaro",
     "batch_jaro_winkler",
@@ -481,7 +484,14 @@ def batch_simhash(texts, bits: int = 64) -> np.ndarray:
     if n == 0:
         return out
     arr = _as_str_array(texts)
-    token_lists = [list(dict.fromkeys(s.lower().split())) for s in arr]
+    # ASCII-whitespace split (Java/RE2 \s class) — NOT str.split(), which
+    # splits on Unicode whitespace (NBSP, ideographic space) and would
+    # diverge from both the non-empty pre-filter (Java regex \s) and the
+    # DuckDB oracle (RE2 \s) on documents containing non-ASCII whitespace.
+    token_lists = [
+        list(dict.fromkeys(t for t in _ASCII_WS.split(s.lower()) if t))
+        for s in arr
+    ]
     sizes = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
     nonempty = np.flatnonzero(sizes > 0)
     if len(nonempty) == 0:

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "exact_dedup",
     "tokenize_docs",
+    "token_cap_census",
     "token_jaccard_pairs",
     "shingle_jaccard_pairs",
     "minhash_signatures",
@@ -58,6 +59,40 @@ def tokenize_docs(
     )
 
 
+def token_cap_census(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_df: int | str = "auto",
+) -> DataFrame:
+    """No-silent-caps companion to :func:`token_jaccard_pairs`: one row
+    reporting how many distinct tokens the skew guard excludes from
+    candidate generation at the given ``max_token_df`` (``"auto"`` mirrors
+    the operator's default cap = max(1000, ceil(1% of docs))).
+
+    ``n_capped_tokens > 0`` means the guard is live — a pair can be missed
+    iff EVERY shared token is capped. Run this (cheap: one token census)
+    when auditing recall on a new corpus."""
+    toks = tokenize_docs(df, text_col, id_col)
+    df_counts = toks.groupBy("token").count()
+    if max_token_df == "auto":
+        n_docs = toks.select(id_col).distinct().select(
+            F.count("*").alias("_n_docs")
+        )
+        with_cap = df_counts.join(F.broadcast(n_docs)).withColumn(
+            "_cap", F.greatest(F.lit(1000), F.ceil(F.col("_n_docs") * 0.01))
+        )
+    else:
+        with_cap = df_counts.withColumn("_cap", F.lit(int(max_token_df)))
+    return with_cap.agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("count") > F.col("_cap"), 1).otherwise(0)).alias(
+            "n_capped_tokens"
+        ),
+        F.max("_cap").alias("cap"),
+    )
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -87,7 +122,8 @@ def token_jaccard_pairs(
     token sets via id-keyed joins (bounded by candidates x doc size — no
     token-skew). The only semantic delta vs the unguarded form is recall:
     a pair is missed iff EVERY shared token exceeds the cap (pinned by
-    tests/test_dedup_text.py).
+    tests/test_dedup_text.py). :func:`token_cap_census` reports how many
+    tokens the guard excludes on a given corpus — no silent caps.
 
     ``group_col`` restricts candidates to a partition (e.g. language).
     Semantics: token-set Jaccard per the reference's ``jaccard_similarity``

@@ -58,13 +58,24 @@ def _list_col_matrix(col, n: int) -> np.ndarray | None:
     """Arrow list column -> (n, dim) float64 matrix via the FLAT values
     buffer (zero Python-object round trips — the pandas path materializes a
     Series of per-row ndarrays, ~1000x slower at 64k-row batches). Returns
-    None when rows are ragged (caller falls back)."""
+    None when any row is NULL or rows are ragged (caller falls back).
+
+    Raggedness is checked per row via ``list_value_length`` — a
+    divisibility check alone is unsound: a ragged batch whose lengths sum
+    to a multiple of n (e.g. dims 63/65 averaging 64) would reshape into a
+    silently misaligned matrix."""
+    import pyarrow.compute as pc
+
+    if n == 0 or col.null_count:
+        return None
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    dim = int(lengths[0])
+    if dim == 0 or not (lengths == dim).all():
+        return None
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(
         np.float64, copy=False
     )
-    if n == 0 or flat.size % n:
-        return None
-    return flat.reshape(n, -1)
+    return flat.reshape(n, dim)
 
 
 def _with_pair_cosine(
@@ -92,13 +103,17 @@ def _with_pair_cosine(
             m2 = _list_col_matrix(c2, n)
             if m1 is not None and m2 is not None and m1.shape == m2.shape:
                 cos = _batch_cosine_matrix(m1, m2)
-            else:  # ragged/empty fallback, row-at-a-time numpy
+            else:  # ragged/null/empty fallback, row-at-a-time numpy
                 cos = np.zeros(n, dtype=np.float64)
                 p1 = c1.to_pylist()
                 p2 = c2.to_pylist()
                 for i in range(n):
+                    if p1[i] is None or p2[i] is None:
+                        continue  # NULL vector -> cosine 0.0
                     x = np.asarray(p1[i], dtype=np.float64)
                     y = np.asarray(p2[i], dtype=np.float64)
+                    if x.shape != y.shape:
+                        continue  # dim mismatch -> cosine 0.0
                     d = np.sqrt(x @ x) * np.sqrt(y @ y)
                     cos[i] = 0.0 if d == 0 else (x @ y) / d
             arrays = [b.column(b.schema.get_field_index(c)) for c in keep_names]

@@ -214,3 +214,41 @@ def test_ivf_topk_recall_and_degenerate_exactness(spark, vectors):
     }
     hits = sum(1 for kk, v in exact.items() if narrow.get(kk) == v)
     assert hits / len(exact) >= 0.7
+
+
+def test_list_col_matrix_rejects_ragged_and_null_batches():
+    """ADVICE r2: a ragged batch whose row lengths sum to a multiple of n
+    (63+65 = 2*64) must NOT pass the fast-path guard and silently reshape
+    into a misaligned matrix; NULL rows must also route to the fallback."""
+    import pyarrow as pa
+
+    from name_matching_spark.operators.similarity_search import _list_col_matrix
+
+    ragged = pa.array([[1.0] * 63, [2.0] * 65])
+    assert _list_col_matrix(ragged, 2) is None
+    with_null = pa.array([[1.0, 2.0], None])
+    assert _list_col_matrix(with_null, 2) is None
+    ok = pa.array([[1.0, 2.0], [3.0, 4.0]])
+    m = _list_col_matrix(ok, 2)
+    assert m is not None and m.shape == (2, 2)
+
+
+def test_pair_cosine_ragged_and_null_rows_through_spark(spark):
+    """End-to-end mapInArrow: ragged dims compute per-row cosine via the
+    fallback; NULL or dim-mismatched vectors yield 0.0 instead of crashing."""
+    from name_matching_spark.operators.similarity_search import _with_pair_cosine
+
+    rows = [
+        (0, [1.0] * 63, [1.0] * 63),          # identical 63-dim -> 1.0
+        (1, [1.0] * 65, [-1.0] * 65),         # opposite 65-dim -> -1.0
+        (2, None, [1.0, 2.0]),                # NULL -> 0.0
+        (3, [1.0, 0.0], [1.0, 0.0, 0.0]),     # dim mismatch -> 0.0
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, v1 array<double>, v2 array<double>"
+    ).coalesce(1)
+    got = {r["id"]: r["cosine"] for r in _with_pair_cosine(df, "v1", "v2").collect()}
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(-1.0)
+    assert got[2] == 0.0
+    assert got[3] == 0.0

@@ -289,3 +289,40 @@ def test_bpe_ish_token_stats(spark):
     assert r0["bpe_ish_tokens"] >= r0["ws_tokens"]
     assert r0["tokens_per_word"] == pytest.approx(
         r0["bpe_ish_tokens"] / r0["ws_tokens"])
+
+
+def test_simhash_nonascii_whitespace_kept_as_token_chars(spark):
+    """ADVICE r2: the kernel must split on ASCII whitespace only (the Java
+    \\s class used by the non-empty pre-filter and the RE2 \\s class used by
+    the q20 oracle). NBSP is NOT a token separator: "alpha\\u00a0beta" is
+    ONE token, and an NBSP-only doc is a real (non-empty) document with the
+    signature of the single token "\\u00a0" — not signature 0."""
+    nbsp_pair = "alpha beta"
+    rows = [(0, nbsp_pair), (1, " "), (2, "alpha beta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert set(got) == {0, 1, 2}
+
+    def one_token_sig(tok):
+        hv = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        return hv - (1 << 64) if hv >= (1 << 63) else hv
+
+    assert got[0] == one_token_sig(nbsp_pair.lower())
+    assert got[1] == one_token_sig(" ")
+    assert got[2] == _py_simhash("alpha beta")
+
+
+def test_token_cap_census_reports_guard_activity(spark):
+    from name_matching_spark.operators.dedup import token_cap_census
+
+    hot = " ".join(["the"] * 1)  # 'the' appears in every doc
+    docs = [(i, f"{hot} unique{i}") for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # explicit cap 10: 'the' (df=20) is capped, unique tokens are not
+    row = token_cap_census(df, max_token_df=10).collect()[0]
+    assert row["n_tokens"] == 21
+    assert row["n_capped_tokens"] == 1
+    assert row["cap"] == 10
+    # auto cap on a tiny corpus resolves to 1000 -> nothing capped
+    row = token_cap_census(df, max_token_df="auto").collect()[0]
+    assert row["cap"] == 1000 and row["n_capped_tokens"] == 0
