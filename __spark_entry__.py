@@ -704,6 +704,71 @@ def q41_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH candidate pairs (the canonical corpus-dedup
+    shape): docs sharing >= 1 full band signature, with the shared-band
+    count. 16 hashes x 8 bands (2 rows/band -> banding threshold ~0.35).
+    The band signature is the h-ORDERED minhash vector per band — the
+    oracle mirrors it with string_agg(... ORDER BY h)."""
+    from name_matching_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=8, shingle_len=5)
+
+
+def q43_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep evaluation report (reference src/evaluation.py review
+    workflow): P/R/F1 at a grid of thresholds in one scan + one tiny
+    shuffle. Metric emission is pure-integer ppm; the score source is
+    type-pinned to DOUBLE with no division (the q09 lesson)."""
+    from name_matching_spark.operators.evaluation import threshold_sweep
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("value").cast("double").alias("score"),
+        F.when(F.col("event_type") == "purchase", "match").otherwise("non-match").alias(
+            "true_label"
+        ),
+    )
+    return threshold_sweep(ev, thresholds=[25.0, 50.0, 100.0, 150.0, 250.0])
+
+
+def q44_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing as a driver query: synthesize deterministic
+    binary payloads from documents.text, attach JVM-side metadata
+    (byte count + sha256), and run the mapInPandas feature extraction with
+    the deterministic fake decoder. The emitted decode dims (width/height)
+    are md5-digest-derived, so the oracle reproduces them in SQL; the
+    rng-derived feature vector itself stays pytest-pinned
+    (tests/test_ann_multimodal_streaming.py)."""
+    from name_matching_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    meta = multimodal.attach_media_metadata(media)
+    for m in ("image", "audio", "video"):
+        multimodal.register_decoder(m, multimodal.deterministic_fake_decoder)
+    feats = multimodal.extract_features(media)
+    return (
+        meta.select("media_id", "modality", "n_bytes", "payload_sha")
+        .join(
+            feats.select(
+                "media_id", "width", "height", "n_frames",
+                F.size("feature").alias("feature_dim"),
+            ),
+            "media_id",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -752,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_length_median": q39_length_median,
         "q40_cube_rollup": q40_cube_rollup,
         "q41_anti_join": q41_anti_join,
+        "q42_minhash_lsh": q42_minhash_lsh,
+        "q43_threshold_sweep": q43_threshold_sweep,
+        "q44_multimodal": q44_multimodal,
     }
 
 
@@ -1145,6 +1213,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey AND o_totalprice > 400000)
             GROUP BY c_mktsegment
+        """,
+        "q42_minhash_lsh": """
+            WITH d AS (SELECT doc_id,
+                              lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+                       FROM documents),
+            sh0 AS (SELECT doc_id,
+                           substr(n, unnest(range(1, greatest(length(n) - 4, 1) + 1)), 5) AS shingle
+                    FROM d),
+            sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+            hs AS (SELECT unnest(range(0, 16)) AS h),
+            mh AS (SELECT doc_id, h,
+                          min(substr(md5(CAST(h AS STRING) || '|' || shingle), 1, 16)) AS minhash
+                   FROM sh, hs GROUP BY 1, 2),
+            band AS (SELECT doc_id, CAST(h // 2 AS INT) AS band,
+                            string_agg(minhash, ',' ORDER BY h) AS band_sig
+                     FROM mh GROUP BY 1, 2)
+            SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared_bands
+            FROM band a
+            JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig
+                       AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        "q43_threshold_sweep": """
+            WITH t AS (SELECT CAST(value AS DOUBLE) AS score,
+                              CASE WHEN event_type = 'purchase' THEN 'match'
+                                   ELSE 'non-match' END AS true_label
+                       FROM events),
+            g AS (SELECT CAST(unnest([25.0, 50.0, 100.0, 150.0, 250.0]) AS DOUBLE) AS threshold),
+            c AS (SELECT threshold,
+                sum(CASE WHEN score >= threshold AND true_label = 'match' THEN 1 ELSE 0 END) AS tp,
+                sum(CASE WHEN score >= threshold AND true_label <> 'match' THEN 1 ELSE 0 END) AS fp,
+                sum(CASE WHEN score < threshold AND true_label = 'match' THEN 1 ELSE 0 END) AS fn,
+                sum(CASE WHEN score < threshold AND true_label <> 'match' THEN 1 ELSE 0 END) AS tn
+              FROM t, g GROUP BY 1)
+            SELECT threshold, tp, fp, fn, tn,
+                   CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT) AS precision_ppm,
+                   CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT) AS recall_ppm,
+                   CAST(2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS BIGINT) AS f1_ppm
+            FROM c
+        """,
+        "q44_multimodal": """
+            WITH d AS (SELECT doc_id AS media_id,
+                              CASE CAST(doc_id % 3 AS INT)
+                                   WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS modality,
+                              encode(text) AS payload, text
+                       FROM documents WHERE doc_id < 200)
+            SELECT media_id, modality,
+                   CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                   -- payload = encode(text): hashing the VARCHAR hashes the
+                   -- same UTF-8 bytes (DuckDB sha256/md5 are VARCHAR-only)
+                   sha256(text) AS payload_sha,
+                   64 + ('0x' || substr(md5(text), 17, 2))::INT % 64 AS width,
+                   64 + ('0x' || substr(md5(text), 19, 2))::INT % 64 AS height,
+                   1 AS n_frames,
+                   16 AS feature_dim
+            FROM d
         """,
         "q09_eval_metrics": """
             WITH t AS (SELECT CAST(value AS DOUBLE) AS score,

@@ -32,6 +32,7 @@ HEADLINE = [
     "q20_simhash_dupes",
     "q24_ann_topk",
     "q28_lsh_near_dupes",
+    "q42_minhash_lsh",
 ]
 
 

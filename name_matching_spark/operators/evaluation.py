@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from name_matching_spark.core.scoring import DEFAULT_MATCH_THRESHOLD
 
-__all__ = ["confusion_counts", "pairwise_metrics"]
+__all__ = ["confusion_counts", "pairwise_metrics", "threshold_sweep"]
 
 
 def confusion_counts(
@@ -31,6 +31,58 @@ def confusion_counts(
         one(pred & ~actual).alias("fp"),
         one(~pred & actual).alias("fn"),
         one(~pred & ~actual).alias("tn"),
+    )
+
+
+def threshold_sweep(
+    scored_labeled: DataFrame,
+    thresholds: list[float],
+    score_col: str = "score",
+    label_col: str = "true_label",
+) -> DataFrame:
+    """P/R/F1 across a threshold grid in ONE aggregation — the reference's
+    review-workflow sweep (``src/evaluation.py``: metrics re-evaluated while
+    tuning match/non-match bounds) lifted to a grid.
+
+    Each row is cross-joined with the (tiny, literal) threshold array and
+    re-labeled per threshold; one groupBy(threshold) with map-side partial
+    aggregation does the rest — data is scanned once regardless of grid
+    size, and the shuffle carries |grid| * n_partitions partial rows only.
+
+    Metrics are emitted as parts-per-million via pure INTEGER arithmetic
+    (``x_ppm = x * 1000000 DIV denom``) — engine-exact, no double-rounding
+    divergence (the q09 lesson). ``f1_ppm = 2*tp*1e6 DIV (2*tp+fp+fn)`` is
+    the exact integer form of 2PR/(P+R).
+    """
+    th = F.explode(
+        F.array(*[F.lit(float(t)).cast("double") for t in thresholds])
+    ).alias("threshold")
+    e = scored_labeled.select(
+        F.col(score_col).cast("double").alias("_s"),
+        (F.col(label_col) == "match").alias("_a"),
+    ).select("_s", "_a", th)
+    pred = F.col("_s") >= F.col("threshold")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        e.groupBy("threshold")
+        .agg(
+            one(pred & F.col("_a")).alias("tp"),
+            one(pred & ~F.col("_a")).alias("fp"),
+            one(~pred & F.col("_a")).alias("fn"),
+            one(~pred & ~F.col("_a")).alias("tn"),
+        )
+        .select(
+            "threshold", "tp", "fp", "fn", "tn",
+            F.expr("CAST(tp * 1000000 DIV greatest(tp + fp, 1) AS BIGINT)").alias(
+                "precision_ppm"
+            ),
+            F.expr("CAST(tp * 1000000 DIV greatest(tp + fn, 1) AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            F.expr(
+                "CAST(2 * tp * 1000000 DIV greatest(2 * tp + fp + fn, 1) AS BIGINT)"
+            ).alias("f1_ppm"),
+        )
     )
 
 

@@ -97,3 +97,35 @@ def test_checkpoint_config_mismatch_refuses(spark, tmp_path):
 
     # unchanged config still resumes cleanly
     assert CheckpointedLinkage(out, num_ranges=2, schema=SCHEMA).run(df) == []
+
+
+def test_threshold_sweep_matches_single_threshold_counts(spark):
+    """The sweep at one threshold equals confusion_counts at that threshold;
+    ppm metrics are the exact integer forms of P/R/F1."""
+    from name_matching_spark.operators.evaluation import (
+        confusion_counts,
+        threshold_sweep,
+    )
+
+    rows = [
+        (0.9, "match"), (0.8, "match"), (0.6, "non-match"),
+        (0.5, "match"), (0.4, "non-match"), (0.1, "match"),
+    ]
+    df = spark.createDataFrame(rows, "score double, true_label string")
+    sweep = {
+        r["threshold"]: r
+        for r in threshold_sweep(df, [0.3, 0.5, 0.7]).collect()
+    }
+    assert set(sweep) == {0.3, 0.5, 0.7}
+    for t in (0.3, 0.5, 0.7):
+        single = confusion_counts(df, match_threshold=t).collect()[0]
+        row = sweep[t]
+        assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (
+            single["tp"], single["fp"], single["fn"], single["tn"]
+        )
+        assert row["precision_ppm"] == row["tp"] * 1_000_000 // max(row["tp"] + row["fp"], 1)
+        assert row["recall_ppm"] == row["tp"] * 1_000_000 // max(row["tp"] + row["fn"], 1)
+        assert row["f1_ppm"] == 2 * row["tp"] * 1_000_000 // max(2 * row["tp"] + row["fp"] + row["fn"], 1)
+    # boundary row (score == threshold) is predicted-positive: at 0.5 the
+    # 0.5/match row is a TP
+    assert sweep[0.5]["tp"] == 3 and sweep[0.5]["fn"] == 1
