@@ -251,6 +251,67 @@ def _seeded_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def _with_sign_sigs(
+    df: DataFrame,
+    planes: list[list[float]],
+    band_planes: int,
+    vec_col: str,
+    out_col: str = "_sigs",
+) -> DataFrame:
+    """Append an ``array<bigint>`` column of per-band packed sign
+    signatures: band k's element is sum over p of (1 << p) where
+    ``dot(vec, planes[k*band_planes + p]) >= 0``.
+
+    ONE matmul per Arrow batch against the (n_planes, dim) plane matrix —
+    replaces n_bands x band_planes JVM higher-order folds per row, which
+    disable whole-stage codegen (this module's measured finding). Sign
+    semantics mirror the fold exactly: NULL vectors and vectors whose
+    length differs from the plane dim get all-zero signatures (the fold's
+    null-propagating ``when(proj >= 0, ...).otherwise(0)`` behavior).
+    """
+    import pyarrow as pa
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    n_bands = P.shape[0] // band_planes
+    weights = 1 << np.arange(band_planes, dtype=np.int64)
+    fields = list(df.schema.fields)
+    out_schema = StructType(fields + [StructField(out_col, ArrayType(LongType()))])
+    names = [f.name for f in fields]
+
+    def compute(batches):
+        for b in batches:
+            n = b.num_rows
+            c = b.column(b.schema.get_field_index(vec_col))
+            m = _list_col_matrix(c, n)
+            if m is not None and m.shape[1] == P.shape[1]:
+                signs = (m @ P.T) >= 0  # (n, n_planes)
+                packed = (
+                    signs.reshape(n, n_bands, band_planes).astype(np.int64)
+                    @ weights
+                )  # (n, n_bands)
+                sigs = packed.tolist()
+            else:  # ragged/null fallback, row-at-a-time
+                sigs = []
+                zero = [0] * n_bands
+                for row in c.to_pylist():
+                    if row is None or len(row) != P.shape[1]:
+                        sigs.append(zero)
+                        continue
+                    s = (P @ np.asarray(row, dtype=np.float64)) >= 0
+                    sigs.append(
+                        (
+                            s.reshape(n_bands, band_planes).astype(np.int64)
+                            @ weights
+                        ).tolist()
+                    )
+            arrays = [b.column(i) for i in range(b.num_columns)]
+            arrays.append(pa.array(sigs, type=pa.list_(pa.int64())))
+            yield pa.RecordBatch.from_arrays(arrays, names + [out_col])
+
+    return df.mapInArrow(compute, out_schema)
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -260,13 +321,14 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """Attach a ``bucket`` column: sign bits against ``n_planes`` seeded
     random hyperplanes packed into a bigint. Cosine-similar vectors collide
-    with probability (1 - theta/pi)^n_planes."""
+    with probability (1 - theta/pi)^n_planes. One Arrow matmul per batch
+    (single band of ``n_planes`` bits)."""
     planes = _seeded_planes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("bigint")).otherwise(0)
-    return df.withColumn("bucket", bucket)
+    return (
+        _with_sign_sigs(df, planes, band_planes=n_planes, vec_col=vec_col)
+        .withColumn("bucket", F.element_at(F.col("_sigs"), 1))
+        .drop("_sigs")
+    )
 
 
 def _band_signatures(
@@ -277,21 +339,15 @@ def _band_signatures(
     seed: int,
     vec_col: str,
 ) -> DataFrame:
-    """Attach ``band`` / ``band_sig`` rows (one per band) via a posexploded
-    array of per-band sign signatures. ``n_bands * band_planes`` seeded
-    planes are sliced band-wise; band k's signature packs its ``band_planes``
-    sign bits into an int."""
+    """Attach ``band`` / ``band_sig`` rows (one per band) by posexploding the
+    kernel-computed per-band signature array. ``n_bands * band_planes``
+    seeded planes are sliced band-wise; band k's signature packs its
+    ``band_planes`` sign bits into an int."""
     planes = _seeded_planes(dim, n_bands * band_planes, seed)
-    sigs = []
-    for bnd in range(n_bands):
-        sig = F.lit(0)
-        for p in range(band_planes):
-            plane = planes[bnd * band_planes + p]
-            proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
-            sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        sigs.append(sig)
-    return df.select(
-        "*", F.posexplode(F.array(*sigs)).alias("band", "band_sig")
+    return (
+        _with_sign_sigs(df, planes, band_planes, vec_col)
+        .select("*", F.posexplode(F.col("_sigs")).alias("band", "band_sig"))
+        .drop("_sigs")
     )
 
 
