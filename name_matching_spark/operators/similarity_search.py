@@ -25,7 +25,81 @@ __all__ = [
     "lsh_topk",
     "lsh_near_dupes",
     "ivf_topk",
+    "banding_candidate_prob",
+    "banding_config",
 ]
+
+
+def banding_candidate_prob(
+    cosine: float, n_bands: int, band_planes: int
+) -> float:
+    """Probability that a pair with the given cosine becomes an LSH
+    candidate under OR-of-ANDs banding: per-plane collision prob is
+    ``p = 1 - arccos(cosine)/pi`` (random-hyperplane LSH), a band matches
+    with ``p^band_planes``, and the pair is a candidate iff at least one of
+    ``n_bands`` bands matches."""
+    p = 1.0 - float(np.arccos(np.clip(cosine, -1.0, 1.0))) / np.pi
+    return 1.0 - (1.0 - p**band_planes) ** n_bands
+
+
+def banding_config(
+    threshold: float,
+    recall_target: float = 0.95,
+    band_planes: int | None = None,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Solve for ``(n_bands, band_planes)`` achieving
+    ``banding_candidate_prob(threshold, ...) >= recall_target`` for every
+    pair AT the threshold (higher-cosine pairs collide more, so the bound
+    holds for all qualifying pairs).
+
+    With ``band_planes`` fixed, ``n_bands`` is the exact closed form
+    ``ceil(log(1 - recall) / log(1 - p^band_planes))``. Otherwise the
+    LARGEST ``band_planes`` whose required band count fits ``max_bands`` is
+    chosen — more planes per band means fewer, more selective buckets, i.e.
+    maximal pruning at the recall target.
+
+    Caveat (measured on the q28 profile): when the corpus is
+    near-orthogonal at a LOW threshold, per-plane collision prob ``p``
+    approaches 0.5 and ANY sign-LSH config prunes weakly — candidate
+    generation degenerates toward all-pairs and the job is rerank-bound.
+    Banding pays off at realistic near-dup thresholds (~0.8+), where ``p``
+    is large and a few selective bands reach recall ~1 cheaply.
+    """
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError("recall_target must be in (0, 1)")
+    p = 1.0 - float(np.arccos(np.clip(threshold, -1.0, 1.0))) / np.pi
+    if p <= 0.0:
+        raise ValueError("threshold too low: per-plane collision prob is 0")
+
+    def bands_needed(planes: int) -> int:
+        band_p = p**planes
+        if band_p >= 1.0:
+            return 1
+        return int(np.ceil(np.log1p(-recall_target) / np.log1p(-band_p)))
+
+    if band_planes is not None:
+        n = bands_needed(band_planes)
+        if n > max_bands:
+            raise ValueError(
+                f"recall_target {recall_target} needs {n} bands at "
+                f"band_planes={band_planes} (max_bands={max_bands})"
+            )
+        return n, band_planes
+    best = (bands_needed(1), 1)
+    planes = 2
+    while True:
+        n = bands_needed(planes)
+        if n > max_bands:
+            break
+        best = (n, planes)
+        planes += 1
+    if best[0] > max_bands:
+        raise ValueError(
+            f"recall_target {recall_target} at threshold {threshold} "
+            f"needs {best[0]} single-plane bands (max_bands={max_bands})"
+        )
+    return best
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -180,6 +254,28 @@ def cosine_near_dupes(
     )
 
 
+def _kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str,
+    seed: int,
+) -> DataFrame:
+    """Train a KMeans coarse quantizer on the corpus and return its centers
+    as a (centroid_id, cv) frame — same shape the deterministic quantizer
+    feeds the broadcast join, so the physical plan is unchanged."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return corpus.sparkSession.createDataFrame(
+        centers, schema="centroid_id long, cv array<double>"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -188,30 +284,40 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "deterministic",
+    kmeans_seed: int = 42,
 ) -> DataFrame:
     """IVF-flavored approximate top-k: a coarse quantizer partitions the
     corpus into inverted lists; each query probes its ``n_probe`` nearest
     centroids and exact-reranks only those lists.
 
-    The coarse quantizer here is deterministic — the ``n_centroids``
-    lowest-id corpus vectors — so results are reproducible and the oracle
-    can express the whole structure in SQL (a production deployment would
-    train centroids with KMeans and broadcast them; the plan shape —
-    broadcast centroids -> argmin assignment -> shuffle on centroid id ->
-    windowed rerank — is identical). Recall rises with ``n_probe``;
-    ``n_probe = n_centroids`` degenerates to exact search.
+    The default coarse quantizer (``centroids="deterministic"``) is the
+    ``n_centroids`` lowest-id corpus vectors — reproducible, and the oracle
+    can express the whole structure in SQL. ``centroids="kmeans"`` trains
+    the quantizer with seeded KMeans instead (the production choice:
+    centers adapt to the data distribution, so inverted lists are balanced
+    and probes land better); the plan shape — broadcast centroids -> argmin
+    assignment -> shuffle on centroid id -> windowed rerank — is identical
+    either way. Recall rises with ``n_probe``; ``n_probe = n_centroids``
+    degenerates to exact search under EITHER quantizer (every list is
+    probed — pinned by tests).
 
     Shuffle shape at scale: centroid set broadcast to both sides, one
     shuffle on ``centroid_id`` for the probe join (each inverted list is a
     partition-local scan), one window for top-k.
     """
-    cent = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"),
+    if centroids == "kmeans":
+        cent = _kmeans_centroids(corpus, n_centroids, vec_col, kmeans_seed)
+    elif centroids == "deterministic":
+        cent = (
+            corpus.orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"),
+            )
         )
-    )
+    else:
+        raise ValueError("centroids must be 'deterministic' or 'kmeans'")
 
     def _nearest(df: DataFrame, side_id: str, keep: int) -> DataFrame:
         """Attach the ``keep`` nearest centroid ids (by cosine, ties on
@@ -360,6 +466,7 @@ def lsh_near_dupes(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    recall_target: float | None = None,
 ) -> DataFrame:
     """Bucketed embedding-threshold dedup: the production form of
     :func:`cosine_near_dupes` — multi-band hyperplane LSH candidate
@@ -373,10 +480,18 @@ def lsh_near_dupes(
     equality with the exact form is pinned by
     tests/test_similarity_search.py at the q28 configuration).
 
+    ``recall_target`` overrides (``n_bands``, ``band_planes``) with the
+    :func:`banding_config` solution for ``threshold`` — expected recall >=
+    the target for every qualifying pair. See the solver's caveat on
+    near-orthogonal/low-threshold corpora (q28's profile), where any
+    sign-LSH config prunes weakly and the job is rerank-bound.
+
     Shuffle shape at scale: one shuffle on (band, band_sig) for the
     candidate join, a dedup on (id1, id2), and two id-keyed joins to fetch
     vectors for the rerank — never a crossJoin.
     """
+    if recall_target is not None:
+        n_bands, band_planes = banding_config(threshold, recall_target)
     banded = _band_signatures(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         dim, n_bands, band_planes, seed, "_v",

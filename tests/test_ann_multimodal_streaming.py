@@ -252,3 +252,85 @@ def test_pair_cosine_ragged_and_null_rows_through_spark(spark):
     assert got[1] == pytest.approx(-1.0)
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_banding_config_solver():
+    from name_matching_spark.operators.similarity_search import (
+        banding_candidate_prob,
+        banding_config,
+    )
+
+    # the solved config meets its recall target AT the threshold
+    for thr in (0.5, 0.8, 0.95):
+        for target in (0.9, 0.99):
+            n_bands, band_planes = banding_config(thr, target)
+            assert banding_candidate_prob(thr, n_bands, band_planes) >= target
+    # fixed band_planes: exact closed form, still meets target
+    n_bands, bp = banding_config(0.8, 0.95, band_planes=4)
+    assert bp == 4
+    assert banding_candidate_prob(0.8, n_bands, 4) >= 0.95
+    assert banding_candidate_prob(0.8, n_bands - 1, 4) < 0.95  # minimal
+    # higher threshold -> per-plane collision prob larger -> the solver can
+    # afford MORE planes per band (better pruning) within the band budget
+    _, bp_low = banding_config(0.5, 0.95)
+    _, bp_high = banding_config(0.95, 0.95)
+    assert bp_high > bp_low
+    # candidate prob is monotone in cosine: qualifying pairs above the
+    # threshold are recalled at least as often
+    assert banding_candidate_prob(0.9, 8, 2) > banding_candidate_prob(0.5, 8, 2)
+    with pytest.raises(ValueError):
+        banding_config(0.8, 1.5)
+    with pytest.raises(ValueError):
+        banding_config(0.999, 0.999999, band_planes=1, max_bands=2)
+
+
+def test_lsh_near_dupes_recall_target_config(spark, vectors):
+    """recall_target routes through banding_config; at a high target the
+    banded pair set over the tight-cluster fixture equals the exact form."""
+    from name_matching_spark.operators.similarity_search import (
+        cosine_near_dupes,
+        lsh_near_dupes,
+    )
+
+    _, df = vectors
+    exact = {
+        (r["id1"], r["id2"])
+        for r in cosine_near_dupes(df, threshold=0.9).collect()
+    }
+    assert exact  # the fixture's tight cluster produces pairs
+    banded = {
+        (r["id1"], r["id2"])
+        for r in lsh_near_dupes(
+            df, dim=8, threshold=0.9, recall_target=0.999
+        ).collect()
+    }
+    assert banded == exact
+
+
+def test_ivf_kmeans_centroids(spark, vectors):
+    """KMeans quantizer: degenerate exactness at n_probe=n_centroids, and
+    recall at small n_probe is comparable to the deterministic quantizer."""
+    from name_matching_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rows, df = vectors
+
+    def pairs(out):
+        return {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+
+    exact = pairs(brute_force_topk(df, df, k=3))
+    km_all = pairs(
+        ivf_topk(df, df, k=3, n_centroids=4, n_probe=4, centroids="kmeans")
+    )
+    assert km_all == exact  # every list probed -> exact under any quantizer
+
+    km = pairs(ivf_topk(df, df, k=3, n_centroids=4, n_probe=2, centroids="kmeans"))
+    det = pairs(
+        ivf_topk(df, df, k=3, n_centroids=4, n_probe=2, centroids="deterministic")
+    )
+    recall_km = len(km & exact) / len(exact)
+    recall_det = len(det & exact) / len(exact)
+    assert recall_km >= 0.6
+    assert recall_km >= recall_det - 0.15  # comparable or better
