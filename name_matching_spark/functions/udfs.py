@@ -27,6 +27,7 @@ __all__ = [
     "parse_name_udf",
     "parse_full_name_udf",
     "make_component_scores_udf",
+    "make_component_scores_dict_udf",
     "COMPONENT_SCORES_SCHEMA",
 ]
 
@@ -98,43 +99,20 @@ COMPONENT_SCORES_SCHEMA = StructType(
 )
 
 
-def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_count: int = 0):
-    """Build the FUSED pairwise scoring UDF.
-
-    One Arrow round trip computes every component score for a batch of
-    candidate pairs (the reference pays a Python call per component per pair:
-    ``src/matcher.py:520-572`` + ``src/name_matcher.py:183-221``).
-
-    Inputs (two struct columns, one per side) must carry STANDARDIZED name
-    parts plus, per configured geo field, standardized geo values:
-    ``first_std, middle_std, last_std, geo0..geo{n-1}``. The full name
-    (" ".join of non-empty components, ``src/name_matcher.py:177-178``) and
-    its token-sorted form are derived HERE per batch — factorize-memoized —
-    instead of being shipped through the pair join.
-
-    ``base_similarity``: "jaro_winkler" (default) or "damerau_levenshtein" —
-    the pluggable base-component similarity slot
-    (``src/name_matcher.py:73,97``). ``full_name_sorted`` is ALWAYS
-    token-sort JW regardless (``src/matcher.py:551-569``), and both
-    Monge-Elkan variants are always emitted (``name_matcher.py:183-196``).
-
-    Geography is the mean of per-field JW over the standardized geo values
-    (``name_matcher.py:211-221``); NaN when no geo fields are configured (the
-    caller then leaves geography out of the blend, reproducing the
-    "additional field absent" semantics).
-    """
+def _resolve_base_kernel(base_similarity: str):
     if base_similarity == "jaro_winkler":
-        base_kernel = K.batch_jaro_winkler
-    elif base_similarity == "damerau_levenshtein":
-        base_kernel = K.batch_dl_similarity
-    else:
-        raise ValueError(f"unknown base_similarity: {base_similarity}")
+        return K.batch_jaro_winkler
+    if base_similarity == "damerau_levenshtein":
+        return K.batch_dl_similarity
+    raise ValueError(f"unknown base_similarity: {base_similarity}")
 
+
+def _make_compute(base_kernel, geo_field_count: int):
+    """Shared fused-computation core: two payload DataFrames (columns
+    ``first_std, middle_std, last_std, geo0..``) -> dict of component score
+    arrays. Used by both the direct and the dictionary-encoded UDFs so the
+    two paths are bit-identical by construction."""
     import numpy as np
-
-    payload_cols = ["first_std", "middle_std", "last_std"] + [
-        f"geo{g}" for g in range(geo_field_count)
-    ]
 
     def _full_and_sorted(side: pd.DataFrame):
         """full = " ".join(filter(None, comps)) (exact: interior double
@@ -187,6 +165,57 @@ def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_c
             out["geography"] = np.full(n, np.nan, dtype=np.float64)
         return out
 
+    return _compute
+
+
+def _scores_frame(out: dict, index) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "first_name": out["first_std"],
+            "middle_name": out["middle_std"],
+            "last_name": out["last_std"],
+            "full_name_sorted": out["full_name_sorted"],
+            "monge_elkan_dl": out["monge_elkan_dl"],
+            "monge_elkan_jw": out["monge_elkan_jw"],
+            "geography": out["geography"],
+        },
+        index=index,
+    )
+
+
+def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_count: int = 0):
+    """Build the FUSED pairwise scoring UDF.
+
+    One Arrow round trip computes every component score for a batch of
+    candidate pairs (the reference pays a Python call per component per pair:
+    ``src/matcher.py:520-572`` + ``src/name_matcher.py:183-221``).
+
+    Inputs (two struct columns, one per side) must carry STANDARDIZED name
+    parts plus, per configured geo field, standardized geo values:
+    ``first_std, middle_std, last_std, geo0..geo{n-1}``. The full name
+    (" ".join of non-empty components, ``src/name_matcher.py:177-178``) and
+    its token-sorted form are derived HERE per batch — factorize-memoized —
+    instead of being shipped through the pair join.
+
+    ``base_similarity``: "jaro_winkler" (default) or "damerau_levenshtein" —
+    the pluggable base-component similarity slot
+    (``src/name_matcher.py:73,97``). ``full_name_sorted`` is ALWAYS
+    token-sort JW regardless (``src/matcher.py:551-569``), and both
+    Monge-Elkan variants are always emitted (``name_matcher.py:183-196``).
+
+    Geography is the mean of per-field JW over the standardized geo values
+    (``name_matcher.py:211-221``); NaN when no geo fields are configured (the
+    caller then leaves geography out of the blend, reproducing the
+    "additional field absent" semantics).
+    """
+    import numpy as np
+
+    base_kernel = _resolve_base_kernel(base_similarity)
+    payload_cols = ["first_std", "middle_std", "last_std"] + [
+        f"geo{g}" for g in range(geo_field_count)
+    ]
+    _compute = _make_compute(base_kernel, geo_field_count)
+
     @pandas_udf(COMPONENT_SCORES_SCHEMA)
     def component_scores(side1: pd.DataFrame, side2: pd.DataFrame) -> pd.DataFrame:
         n = len(side1)
@@ -218,18 +247,7 @@ def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_c
             )
             out = {k: v[inv] for k, v in u.items()}
 
-        return pd.DataFrame(
-            {
-                "first_name": out["first_std"],
-                "middle_name": out["middle_std"],
-                "last_name": out["last_std"],
-                "full_name_sorted": out["full_name_sorted"],
-                "monge_elkan_dl": out["monge_elkan_dl"],
-                "monge_elkan_jw": out["monge_elkan_jw"],
-                "geography": out["geography"],
-            },
-            index=side1.index,
-        )
+        return _scores_frame(out, side1.index)
 
     # The UDF is deterministic, but advertising that lets CollapseProject
     # inline one _cs reference per consumer — the plan then evaluates the
@@ -237,3 +255,57 @@ def make_component_scores_udf(base_similarity: str = "jaro_winkler", geo_field_c
     # ArrowEvalPython nodes for one scoring call). Nondeterministic blocks
     # the duplication; the UDF runs exactly once per pair batch.
     return component_scores.asNondeterministic()
+
+
+def make_component_scores_dict_udf(
+    base_similarity: str,
+    geo_field_count: int,
+    arrays: dict[str, "object"],
+):
+    """Dictionary-encoded variant of :func:`make_component_scores_udf`.
+
+    ``arrays`` maps each payload column (``first_std, middle_std, last_std,
+    geo0..``) to an object ndarray indexed by CLASS ID (one row per distinct
+    scoring payload). The UDF then takes two bigint class-id columns instead
+    of two string structs — the Arrow transfer per pair drops from
+    2x(3+geo) strings to 2 ints, which is the measured bottleneck of the
+    scoring stage (a constant-returning UDF over the struct payload costs
+    ~95% of the full fused UDF at sf0.1). Strings are rebuilt worker-side
+    by fancy-indexing the (broadcast-in-closure) dictionary, and each batch
+    computes every kernel once per DISTINCT (class1, class2) pair — the
+    int-pair np.unique replaces the string factorize memoizer.
+
+    The computation core (:func:`_make_compute`) is shared with the direct
+    UDF, so both paths are bit-identical on equal payloads.
+    """
+    import numpy as np
+
+    base_kernel = _resolve_base_kernel(base_similarity)
+    payload_cols = ["first_std", "middle_std", "last_std"] + [
+        f"geo{g}" for g in range(geo_field_count)
+    ]
+    _compute = _make_compute(base_kernel, geo_field_count)
+    col_arrays = [np.asarray(arrays[c], dtype=object) for c in payload_cols]
+    n_classes = len(col_arrays[0]) if col_arrays else 0
+    if any(len(a) != n_classes for a in col_arrays):
+        raise ValueError("dictionary arrays must have equal length")
+
+    @pandas_udf(COMPONENT_SCORES_SCHEMA)
+    def component_scores_dict(c1: pd.Series, c2: pd.Series) -> pd.Series:
+        i1 = c1.to_numpy(np.int64)
+        i2 = c2.to_numpy(np.int64)
+        pair_code = i1 * np.int64(n_classes) + i2
+        uidx, inv = np.unique(pair_code, return_index=True, return_inverse=True)[1:]
+        u1 = i1[uidx]
+        u2 = i2[uidx]
+        side1 = pd.DataFrame(
+            {c: pd.Series(a[u1], dtype=object) for c, a in zip(payload_cols, col_arrays)}
+        )
+        side2 = pd.DataFrame(
+            {c: pd.Series(a[u2], dtype=object) for c, a in zip(payload_cols, col_arrays)}
+        )
+        u = _compute(side1, side2)
+        out = {k: v[inv] for k, v in u.items()}
+        return _scores_frame(out, c1.index)
+
+    return component_scores_dict.asNondeterministic()

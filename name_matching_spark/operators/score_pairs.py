@@ -69,13 +69,31 @@ def payload_select_exprs(config: MatcherConfig) -> list:
     return exprs
 
 
-def score_pairs(pairs: DataFrame, config: MatcherConfig | None = None) -> DataFrame:
+def score_pairs(
+    pairs: DataFrame,
+    config: MatcherConfig | None = None,
+    class_dict: dict | None = None,
+) -> DataFrame:
     """Score a candidate-pair frame (columns ``id1, id2, s1, s2`` with
     payload structs) and classify.
 
     Emits the MatchResult shape (``src/db/models.py:145-191`` /
     ``src/name_matcher.py:326-332``): flat ``score_*`` columns, overall
     ``score``, ``classification``.
+
+    ``class_dict``: dictionary-encoded scoring (SURVEY §2.11's
+    dedup-score idea taken to its transfer-bound conclusion). When set,
+    the pair structs carry a bigint ``class_id`` per side instead of the
+    string payload, and the fused UDF receives the two id columns plus the
+    (closure-broadcast) id->payload dictionary — see
+    ``make_component_scores_dict_udf``. The scoring stage is measured
+    Arrow-TRANSFER-bound (a constant UDF over the struct payload costs
+    ~95% of the real one at sf0.1), so shrinking the per-pair transfer to
+    two ints is the win; per-batch kernel work also drops to one
+    evaluation per distinct (class1, class2). Values are bit-identical to
+    the direct path (shared computation core). ``plans.linkage`` builds
+    the encoding adaptively — only when the distinct-payload count fits a
+    driver-side dictionary.
     """
     config = config or MatcherConfig()
     geo_count = len(config.geo_fields)
@@ -90,15 +108,23 @@ def score_pairs(pairs: DataFrame, config: MatcherConfig | None = None) -> DataFr
             f"name_weights components {unknown} are not produced by the "
             f"scoring UDF (available: {sorted(known)})"
         )
-    udf = make_component_scores_udf(config.base_similarity, geo_count)
+    if class_dict is not None:
+        from name_matching_spark.functions.udfs import make_component_scores_dict_udf
 
-    struct_fields = ["first_std", "middle_std", "last_std"] + [
-        f"geo{i}" for i in range(geo_count)
-    ]
-    side1 = F.struct(*[F.col(f"s1.{f}") for f in struct_fields])
-    side2 = F.struct(*[F.col(f"s2.{f}") for f in struct_fields])
-
-    scored = pairs.withColumn("_cs", udf(side1, side2))
+        dict_udf = make_component_scores_dict_udf(
+            config.base_similarity, geo_count, class_dict
+        )
+        scored = pairs.withColumn(
+            "_cs", dict_udf(F.col("s1.class_id"), F.col("s2.class_id"))
+        )
+    else:
+        udf = make_component_scores_udf(config.base_similarity, geo_count)
+        struct_fields = ["first_std", "middle_std", "last_std"] + [
+            f"geo{i}" for i in range(geo_count)
+        ]
+        side1 = F.struct(*[F.col(f"s1.{f}") for f in struct_fields])
+        side2 = F.struct(*[F.col(f"s2.{f}") for f in struct_fields])
+        scored = pairs.withColumn("_cs", udf(side1, side2))
 
     # weighted name score (src/scorer.py:19-54): missing weighted components
     # score 0 but keep full denominator — with the standard four components

@@ -112,6 +112,68 @@ def _multi_pass_pairs(
     return pairs
 
 
+def _payload_fields(matcher: MatcherConfig) -> list[str]:
+    return ["first_std", "middle_std", "last_std"] + [
+        f"geo{i}" for i in range(len(matcher.geo_fields))
+    ]
+
+
+def _build_class_encoding(
+    works: list[DataFrame],
+    matcher: MatcherConfig,
+    max_classes: int,
+    required: bool,
+):
+    """Dictionary-encode the scoring payload: distinct payload tuples get
+    dense class ids; every work frame gains a ``class_id`` column via a
+    broadcast join, and the (small) id->payload dictionary is returned for
+    the scoring UDF's closure.
+
+    Returns ``(encoded_works, arrays)`` or ``None`` when the corpus has
+    more than ``max_classes`` distinct payloads (the dictionary must fit
+    on the driver and in each Python worker — at web scale a diverse
+    corpus exceeds any sane cap, and the direct struct-payload path is the
+    right plan). Runs two small eager jobs (distinct count + collect);
+    class ids are assigned by sorted payload order, so the encoding is
+    deterministic across runs and partitionings.
+    """
+    import numpy as np
+
+    fields = _payload_fields(matcher)
+    union = works[0]
+    for w in works[1:]:
+        union = union.unionByName(w)
+    classes = union.select(*fields).dropDuplicates()
+    d = classes.count()
+    if d > max_classes or d == 0:
+        if required:
+            raise ValueError(
+                f"dict_encode=True but corpus has {d} distinct payloads "
+                f"(dict_max_classes={max_classes})"
+            )
+        return None
+    rows = classes.orderBy(
+        *[F.col(c).asc_nulls_first() for c in fields]
+    ).collect()
+    arrays = {
+        c: np.array([r[c] for r in rows], dtype=object) for c in fields
+    }
+    spark = works[0].sparkSession
+    mapping = spark.createDataFrame(
+        [(i, *[r[c] for c in fields]) for i, r in enumerate(rows)],
+        schema="class_id long, " + ", ".join(f"{c} string" for c in fields),
+    )
+    ck = F.md5(F.to_json(F.struct(*[F.col(c) for c in fields])))
+    mapping_keyed = mapping.withColumn("_ck", ck).select("_ck", "class_id")
+    encoded = [
+        w.withColumn("_ck", ck)
+        .join(F.broadcast(mapping_keyed), "_ck")
+        .drop("_ck")
+        for w in works
+    ]
+    return encoded, arrays
+
+
 def dedup_table(
     df: DataFrame,
     schema: LinkageSchema | None = None,
@@ -119,18 +181,41 @@ def dedup_table(
     matcher: MatcherConfig | None = None,
     top_k: int | None = None,
     keep_non_match: bool = False,
+    dict_encode: bool | None = None,
+    dict_max_classes: int = 65536,
 ) -> DataFrame:
     """Self-linkage of one table: all within-block pairs, scored + classified.
 
     Non-matches are dropped from the result (``src/name_matcher.py:325-332``)
     unless ``keep_non_match``; ``top_k`` keeps the best k matches per id1
     (``:334-337``).
+
+    ``dict_encode=None`` (default) decides ADAPTIVELY: when the corpus has
+    <= ``dict_max_classes`` distinct scoring payloads, pairs ship two
+    bigint class ids through the scoring UDF instead of the string structs
+    (the stage is measured Arrow-transfer-bound; see ``score_pairs``) and
+    the id->payload dictionary rides the UDF closure. Diverse corpora
+    exceed the cap and keep the direct path — values are bit-identical
+    either way. The auto decision runs two small jobs at plan-build time;
+    pass ``dict_encode=False`` to keep plan construction fully lazy, or
+    ``True`` to require the encoding (raises above the cap).
     """
     matcher = matcher or MatcherConfig()
     blocking = blocking or BlockingConfig()
     work = prepare_linkage_frame(df, schema, matcher)
-    pairs = _multi_pass_pairs(work, scoring_struct_cols(matcher), blocking)
-    results = score_pairs(pairs, matcher)
+    class_dict = None
+    pair_payload = scoring_struct_cols(matcher)
+    if dict_encode is None or dict_encode:
+        enc = _build_class_encoding(
+            [work], matcher, dict_max_classes, required=bool(dict_encode)
+        )
+        if enc is not None:
+            (work,), class_dict = enc
+            pair_payload = ["class_id"] + (
+                ["birthdate_std"] if matcher.use_birthdate else []
+            )
+    pairs = _multi_pass_pairs(work, pair_payload, blocking)
+    results = score_pairs(pairs, matcher, class_dict=class_dict)
     if not keep_non_match:
         results = results.filter(F.col("classification") != "non_match")
     if top_k:
@@ -147,16 +232,30 @@ def link_tables(
     matcher: MatcherConfig | None = None,
     top_k: int | None = None,
     keep_non_match: bool = False,
+    dict_encode: bool | None = None,
+    dict_max_classes: int = 65536,
 ) -> DataFrame:
     """Cross-linkage of two tables (the ``match_db_tables`` shape,
     ``src/name_matcher.py:496-578``). Side 1 = df1 (orientation fixed —
-    Monge-Elkan is asymmetric)."""
+    Monge-Elkan is asymmetric). ``dict_encode`` as in :func:`dedup_table`
+    (one SHARED dictionary over both sides' payloads)."""
     matcher = matcher or MatcherConfig()
     blocking = blocking or BlockingConfig()
     work1 = prepare_linkage_frame(df1, schema1, matcher)
     work2 = prepare_linkage_frame(df2, schema2, matcher)
-    pairs = _multi_pass_pairs(work1, scoring_struct_cols(matcher), blocking, other=work2)
-    results = score_pairs(pairs, matcher)
+    class_dict = None
+    pair_payload = scoring_struct_cols(matcher)
+    if dict_encode is None or dict_encode:
+        enc = _build_class_encoding(
+            [work1, work2], matcher, dict_max_classes, required=bool(dict_encode)
+        )
+        if enc is not None:
+            (work1, work2), class_dict = enc
+            pair_payload = ["class_id"] + (
+                ["birthdate_std"] if matcher.use_birthdate else []
+            )
+    pairs = _multi_pass_pairs(work1, pair_payload, blocking, other=work2)
+    results = score_pairs(pairs, matcher, class_dict=class_dict)
     if not keep_non_match:
         results = results.filter(F.col("classification") != "non_match")
     if top_k:

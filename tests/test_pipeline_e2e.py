@@ -166,3 +166,38 @@ def test_punctuation_token_in_name_matches_oracle(spark):
         )
     # the pair's sorted-full similarity is exactly 1.0 once empties drop
     assert out.iloc[0]["score_full_name_sorted"] == pytest.approx(1.0)
+
+
+def test_dict_encoded_scoring_is_value_exact(spark):
+    """Dictionary-encoded scoring (class ids + closure dictionary) returns
+    bit-identical results to the direct struct-payload path; the cap makes
+    the auto switch fall back to direct on over-diverse corpora."""
+    # heavy duplication: 8 distinct people x 25 copies, distinct ids
+    rows = []
+    for i in range(200):
+        p = i % 8
+        rows.append((i, f"Maria{p}", f"Cruz{p} Santos{p}", f"19{70+p}-01-0{p+1}", "Reg", "City"))
+    df = spark.createDataFrame(
+        rows,
+        ["record_id", "first_name", "middle_name_last_name", "birthdate",
+         "province_name", "city_name"],
+    )
+    direct = dedup_table(df, SCHEMA, keep_non_match=True, dict_encode=False)
+    encoded = dedup_table(df, SCHEMA, keep_non_match=True, dict_encode=True)
+    key = ["id1", "id2"]
+    d1 = {tuple(r[k] for k in key): r.asDict() for r in direct.collect()}
+    d2 = {tuple(r[k] for k in key): r.asDict() for r in encoded.collect()}
+    assert d1.keys() == d2.keys() and len(d1) > 0
+    for k, v in d1.items():
+        assert v == d2[k], k  # exact equality incl. every score double
+    # auto mode with a cap below the distinct-payload count (8) must fall
+    # back to the direct path, not truncate the dictionary
+    auto_small = dedup_table(
+        df, SCHEMA, keep_non_match=True, dict_encode=None, dict_max_classes=4
+    )
+    d3 = {tuple(r[k] for k in key): r.asDict() for r in auto_small.collect()}
+    assert d3 == d1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_table(df, SCHEMA, dict_encode=True, dict_max_classes=4)
