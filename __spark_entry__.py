@@ -707,13 +707,15 @@ def q41_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash LSH candidate pairs (the canonical corpus-dedup
     shape): docs sharing >= 1 full band signature, with the shared-band
-    count. 16 hashes x 8 bands (2 rows/band -> banding threshold ~0.35).
-    The band signature is the h-ORDERED minhash vector per band — the
-    oracle mirrors it with string_agg(... ORDER BY h)."""
+    count. 16 hashes x 4 bands (4 rows/band -> banding threshold
+    ~(1/4)^(1/4) = 0.71, the realistic near-dup operating point; 2
+    rows/band floods candidates on this corpus — 1.6M pairs of 5k docs at
+    sf0.1). The band signature is the h-ORDERED minhash vector per band —
+    the oracle mirrors it with string_agg(... ORDER BY h)."""
     from name_matching_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, num_hashes=16, bands=8, shingle_len=5)
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_len=5)
 
 
 def q43_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +771,26 @@ def q44_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_lsh_jaccard_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup PIPELINE: banded MinHash LSH candidate
+    generation -> exact shingle-Jaccard rerank at threshold 0.5. Linear in
+    candidates x shingles-per-doc, unlike the all-pairs exact form (q33)
+    whose shingle self-join is sum-of-df^2. Values are exact for every
+    surviving pair."""
+    from name_matching_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_jaccard_rerank,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_len=5)
+    out = shingle_jaccard_rerank(docs, cand, threshold=0.5, shingle_len=5)
+    return out.select(
+        "id1", "id2", "intersection", "size1", "size2",
+        F.round(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -820,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_minhash_lsh": q42_minhash_lsh,
         "q43_threshold_sweep": q43_threshold_sweep,
         "q44_multimodal": q44_multimodal,
+        "q45_lsh_jaccard_rerank": q45_lsh_jaccard_rerank,
     }
 
 
@@ -828,6 +851,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _PERSON_CTE = f"WITH person AS ({PERSON_SQL})"
+
+
+def _minhash_oracle_cte(num_hashes: int, doc_filter: str = "") -> str:
+    """Shared minhash WITH-chain for q19/q42: one 32-bit md5 base hash per
+    distinct (doc, shingle), then the SAME seeded affine permutations the
+    Spark operator uses (coefficients rendered as literals)."""
+    from name_matching_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_coefficients,
+    )
+
+    a, b = minhash_coefficients(num_hashes)
+    coeffs = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(num_hashes))
+    return f"""
+        d AS (SELECT doc_id,
+                     lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+              FROM documents{doc_filter}),
+        sh0 AS (SELECT doc_id,
+                       substr(n, unnest(range(1, greatest(length(n) - 4, 1) + 1)), 5) AS shingle
+                FROM d),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        hb AS (SELECT doc_id,
+                      ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {MINHASH_PRIME} AS hb
+               FROM sh),
+        hs AS (SELECT * FROM (VALUES {coeffs}) t(h, ca, cb)),
+        mh AS (SELECT doc_id, h, min((ca * hb + cb) % {MINHASH_PRIME}) AS minhash
+               FROM hb, hs GROUP BY 1, 2)
+    """
 
 
 def _bpe_pattern_sql() -> str:
@@ -1214,26 +1265,45 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey AND o_totalprice > 400000)
             GROUP BY c_mktsegment
         """,
-        "q42_minhash_lsh": """
-            WITH d AS (SELECT doc_id,
-                              lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
-                       FROM documents),
-            sh0 AS (SELECT doc_id,
-                           substr(n, unnest(range(1, greatest(length(n) - 4, 1) + 1)), 5) AS shingle
-                    FROM d),
-            sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-            hs AS (SELECT unnest(range(0, 16)) AS h),
-            mh AS (SELECT doc_id, h,
-                          min(substr(md5(CAST(h AS STRING) || '|' || shingle), 1, 16)) AS minhash
-                   FROM sh, hs GROUP BY 1, 2),
-            band AS (SELECT doc_id, CAST(h // 2 AS INT) AS band,
-                            string_agg(minhash, ',' ORDER BY h) AS band_sig
+        "q42_minhash_lsh": "WITH "
+        + _minhash_oracle_cte(16)
+        + """,
+            band AS (SELECT doc_id, CAST(h // 4 AS INT) AS band,
+                            string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS band_sig
                      FROM mh GROUP BY 1, 2)
             SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared_bands
             FROM band a
             JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig
                        AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "q45_lsh_jaccard_rerank": "WITH "
+        + _minhash_oracle_cte(16)
+        + """,
+            band AS (SELECT doc_id, CAST(h // 4 AS INT) AS band,
+                            string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS band_sig
+                     FROM mh GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                     FROM band a
+                     JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig
+                                AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+            inter AS (SELECT c.id1, c.id2, count(*) AS n
+                      FROM cand c
+                      JOIN sh s1 ON s1.doc_id = c.id1
+                      JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+                      GROUP BY 1, 2),
+            j AS (SELECT c.id1, c.id2,
+                         COALESCE(i.n, 0) AS intersection,
+                         z1.set_size AS size1, z2.set_size AS size2
+                  FROM cand c
+                  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+                  JOIN sizes z1 ON z1.doc_id = c.id1
+                  JOIN sizes z2 ON z2.doc_id = c.id2)
+            SELECT id1, id2, intersection, size1, size2,
+                   round(CAST(intersection AS DOUBLE) / (size1 + size2 - intersection), 6) AS jaccard
+            FROM j
+            WHERE CAST(intersection AS DOUBLE) / (size1 + size2 - intersection) >= 0.5
         """,
         "q43_threshold_sweep": """
             WITH t AS (SELECT CAST(value AS DOUBLE) AS score,
@@ -1361,19 +1431,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.2
         """,
-        "q19_minhash": """
-            WITH d AS (SELECT doc_id,
-                              lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
-                       FROM documents WHERE doc_id < 100),
-            sh0 AS (SELECT doc_id,
-                           substr(n, unnest(range(1, greatest(length(n) - 4, 1) + 1)), 5) AS shingle
-                    FROM d),
-            sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-            hs AS (SELECT unnest(range(0, 8)) AS h)
-            SELECT doc_id, h,
-                   min(substr(md5(CAST(h AS STRING) || '|' || shingle), 1, 16)) AS minhash
-            FROM sh, hs GROUP BY 1, 2
-        """,
+        "q19_minhash": "WITH "
+        + _minhash_oracle_cte(8, " WHERE doc_id < 100")
+        + "SELECT doc_id, h, minhash FROM mh",
         "q20_simhash_dupes": """
             WITH toks AS (
                 SELECT DISTINCT doc_id, t.token

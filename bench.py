@@ -33,6 +33,7 @@ HEADLINE = [
     "q24_ann_topk",
     "q28_lsh_near_dupes",
     "q42_minhash_lsh",
+    "q45_lsh_jaccard_rerank",
 ]
 
 

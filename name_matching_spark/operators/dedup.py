@@ -22,6 +22,8 @@ __all__ = [
     "token_cap_census",
     "token_jaccard_pairs",
     "shingle_jaccard_pairs",
+    "shingle_jaccard_rerank",
+    "minhash_coefficients",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_signatures",
@@ -134,6 +136,7 @@ def token_jaccard_pairs(
         toks = toks.join(df.select(id_col, group_col), id_col)
 
     join_toks = toks
+    hot = None
     guarded = max_token_df is not None
     if guarded:
         df_counts = toks.groupBy("token").count()
@@ -141,16 +144,13 @@ def token_jaccard_pairs(
             n_docs = toks.select(id_col).distinct().select(
                 F.count("*").alias("_n_docs")
             )
-            keep = (
-                df_counts.join(F.broadcast(n_docs))
-                .filter(
-                    F.col("count")
-                    <= F.greatest(F.lit(1000), F.ceil(F.col("_n_docs") * 0.01))
-                )
-                .select("token")
+            with_cap = df_counts.join(F.broadcast(n_docs)).withColumn(
+                "_cap", F.greatest(F.lit(1000), F.ceil(F.col("_n_docs") * 0.01))
             )
         else:
-            keep = df_counts.filter(F.col("count") <= int(max_token_df)).select("token")
+            with_cap = df_counts.withColumn("_cap", F.lit(int(max_token_df)))
+        keep = with_cap.filter(F.col("count") <= F.col("_cap")).select("token")
+        hot = with_cap.filter(F.col("count") > F.col("_cap")).select("token")
         join_toks = toks.join(keep, "token")
 
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("set_size"))
@@ -163,21 +163,35 @@ def token_jaccard_pairs(
         F.col(id_col).alias("id2"), *[F.col(c) for c in join_keys]
     )
     if guarded:
-        # candidates from the capped join; exact intersections re-counted on
-        # the full token sets (id-keyed joins — candidate x doc-size bound)
-        cand = (
+        # exact intersections WITHOUT re-expanding candidates by full token
+        # sets (candidates x doc-size blows up on near-dup-heavy corpora —
+        # measured 10^9 join rows at sf0.1): |A∩B| = |shared UNCAPPED|
+        # (free from the capped candidate join's groupBy) + |shared CAPPED|
+        # (candidates joined against the capped postings only — a doc has
+        # FEW capped tokens, so the expansion is candidates x hot-per-doc)
+        uncapped = (
             a.join(b, join_keys)
             .filter(F.col("id1") < F.col("id2"))
-            .select("id1", "id2")
-            .distinct()
-        )
-        t1 = toks.select(F.col(id_col).alias("id1"), "token")
-        t2 = toks.select(F.col(id_col).alias("id2"), "token")
-        inter = (
-            cand.join(t1, "id1")
-            .join(t2, ["id2", "token"])
             .groupBy("id1", "id2")
-            .agg(F.count("*").alias("intersection"))
+            .agg(F.count("*").alias("_n_uncapped"))
+        )
+        hot_toks = toks.join(F.broadcast(hot), "token")
+        h1 = hot_toks.select(F.col(id_col).alias("id1"), "token")
+        h2 = hot_toks.select(F.col(id_col).alias("id2"), "token")
+        hot_inter = (
+            uncapped.select("id1", "id2")
+            .join(h1, "id1")
+            .join(h2, ["id2", "token"])
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("_n_capped"))
+        )
+        inter = (
+            uncapped.join(hot_inter, ["id1", "id2"], "left")
+            .withColumn(
+                "intersection",
+                F.col("_n_uncapped") + F.coalesce(F.col("_n_capped"), F.lit(0)),
+            )
+            .select("id1", "id2", "intersection")
         )
     else:
         inter = (
@@ -215,30 +229,98 @@ def shingle_jaccard_pairs(
 
     Same relational shape: distinct shingles -> self-join on shingle ->
     intersection counts -> sizes. ``max_shingle_df`` (default 1000) prunes
-    ultra-common shingles from CANDIDATE GENERATION only; intersections are
-    re-counted on the full shingle sets (exact values; a pair is missed only
-    if EVERY shared shingle exceeds the cap).
+    ultra-common shingles from CANDIDATE GENERATION only; a pair is missed
+    only if EVERY shared shingle exceeds the cap, and surviving pairs get
+    exact values.
+
+    SCALE CAVEAT: this is the exact ALL-PAIRS baseline — the candidate
+    join emits sum-of-df^2 rows over shingle postings, and no df cap
+    bounds that total on a near-dup-heavy corpus (a shingle shared by 500
+    docs contributes 125k pairs even under the cap). The production path
+    is ``minhash_lsh_pairs`` -> :func:`shingle_jaccard_rerank`, which is
+    linear in candidates.
     """
     sh = _shingles(df, text_col, id_col, shingle_len)
     join_sh = sh
+    hot = None
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle").count()
-            .filter(F.col("count") <= int(max_shingle_df))
-            .select("shingle")
-        )
+        counts = sh.groupBy("shingle").count()
+        keep = counts.filter(F.col("count") <= int(max_shingle_df)).select("shingle")
+        hot = counts.filter(F.col("count") > int(max_shingle_df)).select("shingle")
         join_sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = join_sh.select(F.col(id_col).alias("id1"), "shingle")
     b = join_sh.select(F.col(id_col).alias("id2"), "shingle")
-    cand = (
+    # |A∩B| = |shared uncapped| (from the candidate join itself) +
+    # |shared capped| (candidates x the FEW hot shingles per doc) — never
+    # candidates x full shingle sets, which explodes on near-dup corpora
+    uncapped = (
         a.join(b, "shingle")
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("_n_uncapped"))
     )
+    if hot is not None:
+        hot_sh = sh.join(F.broadcast(hot), "shingle")
+        h1 = hot_sh.select(F.col(id_col).alias("id1"), "shingle")
+        h2 = hot_sh.select(F.col(id_col).alias("id2"), "shingle")
+        hot_inter = (
+            uncapped.select("id1", "id2")
+            .join(h1, "id1")
+            .join(h2, ["id2", "shingle"])
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("_n_capped"))
+        )
+        inter = (
+            uncapped.join(hot_inter, ["id1", "id2"], "left")
+            .withColumn(
+                "intersection",
+                F.col("_n_uncapped") + F.coalesce(F.col("_n_capped"), F.lit(0)),
+            )
+            .select("id1", "id2", "intersection")
+        )
+    else:
+        inter = uncapped.withColumnRenamed("_n_uncapped", "intersection")
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id1", "set_size": "size1"}), "id1")
+        .join(sizes.withColumnsRenamed({id_col: "id2", "set_size": "size2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("size1") + F.col("size2") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "intersection", "size1", "size2", "jaccard")
+    )
+
+
+def shingle_jaccard_rerank(
+    df: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.5,
+    shingle_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT shingle-set Jaccard for GIVEN candidate pairs — the rerank
+    stage of the production near-dup pipeline
+    (``minhash_lsh_pairs`` -> ``shingle_jaccard_rerank``).
+
+    :func:`shingle_jaccard_pairs` is the exact all-pairs baseline; its
+    candidate join is inherently sum-of-df^2 over shingle postings and no
+    df cap bounds that total on a near-dup-heavy corpus (measured: did not
+    finish at sf0.1). Banded MinHash bounds candidates instead, and this
+    rerank is candidates x shingles-per-doc — linear in both.
+
+    ``pairs`` needs columns (id1, id2); Jaccard values are exact (full
+    shingle sets, including pairs whose intersection is 0 via the left
+    join). Output matches ``shingle_jaccard_pairs``.
+    """
+    sh = _shingles(df, text_col, id_col, shingle_len)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     t1 = sh.select(F.col(id_col).alias("id1"), "shingle")
     t2 = sh.select(F.col(id_col).alias("id2"), "shingle")
+    cand = pairs.select("id1", "id2")
     inter = (
         cand.join(t1, "id1")
         .join(t2, ["id2", "shingle"])
@@ -246,7 +328,9 @@ def shingle_jaccard_pairs(
         .agg(F.count("*").alias("intersection"))
     )
     return (
-        inter.join(sizes.withColumnsRenamed({id_col: "id1", "set_size": "size1"}), "id1")
+        cand.join(inter, ["id1", "id2"], "left")
+        .withColumn("intersection", F.coalesce(F.col("intersection"), F.lit(0)))
+        .join(sizes.withColumnsRenamed({id_col: "id1", "set_size": "size1"}), "id1")
         .join(sizes.withColumnsRenamed({id_col: "id2", "set_size": "size2"}), "id2")
         .withColumn(
             "jaccard",
@@ -281,12 +365,9 @@ def winnowing_fingerprints(
     sh = (
         df.select(
             F.col(id_col),
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(lower(regexp_replace({text_col}, '\\\\s+', ' '))) - {shingle_len - 1}, 1)), "
-                    f"i -> substring(lower(regexp_replace({text_col}, '\\\\s+', ' ')), i, {shingle_len}))"
-                )
-            ).alias("pos", "shingle"),
+            F.posexplode(_shingle_array(text_col, shingle_len)).alias(
+                "pos", "shingle"
+            ),
         )
     ).select(
         id_col, "pos",
@@ -307,23 +388,49 @@ def winnowing_fingerprints(
     )
 
 
+def _shingle_array(text_col: str, shingle_len: int):
+    """All character ``shingle_len``-grams of the normalized text as ONE
+    array column: a single ``regexp_extract_all`` pass with a lookahead
+    pattern ``(?=(.{k})).`` — every position emits its k-gram capture.
+
+    The previous sequence+transform form re-evaluated
+    ``lower(regexp_replace(text))`` INSIDE the position lambda (CollapseProject
+    inlines the alias), i.e. O(len^2) work and allocation per document —
+    measured 15.8s just to shingle 5k docs at sf0.1; this form is one regex
+    scan per row. Documents shorter than ``shingle_len`` emit themselves
+    (the relational oracles' ``greatest(len - k + 1, 1)`` behavior)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    grams = F.expr(
+        f"regexp_extract_all(lower(regexp_replace({text_col}, '\\\\s+', ' ')), "
+        f"'(?=(.{{{shingle_len}}})).', 1)"
+    )
+    return F.when(F.length(norm) < shingle_len, F.array(norm)).otherwise(grams)
+
+
 def _shingles(df: DataFrame, text_col: str, id_col: str, shingle_len: int) -> DataFrame:
-    """Distinct character shingles per doc via sequence+transform (JVM-side,
-    no UDF)."""
-    # substring with a column start needs SQL expr; the whole shingle set is
-    # one JVM-side transform over a position sequence
+    """Distinct character shingles per doc (JVM-side, no UDF, one regex
+    pass per row — see :func:`_shingle_array`)."""
     return (
         df.select(
             F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(lower(regexp_replace({text_col}, '\\\\s+', ' '))) - {shingle_len - 1}, 1)), "
-                    f"i -> substring(lower(regexp_replace({text_col}, '\\\\s+', ' ')), i, {shingle_len}))"
-                )
-            ).alias("shingle"),
+            F.explode(_shingle_array(text_col, shingle_len)).alias("shingle"),
         )
         .distinct()
     )
+
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1: a*hb + b stays < 2^62 (ANSI-safe)
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 7) -> tuple[list[int], list[int]]:
+    """Seeded affine-permutation coefficients (a_i in [1, p), b_i in
+    [0, p)) shared by the Spark plan and the SQL oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_PRIME, size=num_hashes)
+    b = rng.integers(0, MINHASH_PRIME, size=num_hashes)
+    return [int(x) for x in a], [int(x) for x in b]
 
 
 def minhash_signatures(
@@ -332,26 +439,42 @@ def minhash_signatures(
     shingle_len: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    seed: int = 7,
 ) -> DataFrame:
-    """MinHash signature per doc: h_i(doc) = min over shingles of
-    md5(i || shingle) (first 16 hex chars, compared as strings — portable
-    across engines).
+    """MinHash signature per doc via the standard one-base-hash + affine
+    permutation scheme: hb(shingle) = first 32 md5 bits mod p, then
+    h_i(doc) = min over shingles of (a_i * hb + b_i) mod p with seeded
+    (a_i, b_i) and p = 2^31 - 1. Output: (id, h, minhash bigint).
 
-    Implementation is a single groupBy after exploding (shingle x hash_index)
-    — map-side partial min keeps shuffle volume at num_hashes rows per doc.
+    ONE md5 per distinct (doc, shingle); the ``num_hashes`` permutations
+    are integer column expressions aggregated in a single groupBy(doc) —
+    no (shingle x hash_index) explode at all, so shuffle input is one row
+    per shingle and shuffle output ``num_hashes`` ints per doc. (The
+    previous md5-per-(h, shingle) form cost num_hashes x the md5 work and
+    a num_hashes x row amplification: 18.6s -> ~4s at sf0.1.) All
+    arithmetic stays < 2^62, exact in any engine.
     """
+    a, b = minhash_coefficients(num_hashes, seed)
     sh = _shingles(df, text_col, id_col, shingle_len)
-    exploded = sh.select(
+    hb = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
+        % MINHASH_PRIME
+    )
+    based = sh.select(F.col(id_col), hb.alias("hb"))
+    mins = based.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a[i]) * F.col("hb") + F.lit(b[i])) % MINHASH_PRIME).alias(
+                f"_mh{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        F.col("shingle"),
+        F.posexplode(F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)])).alias(
+            "h", "minhash"
+        ),
     )
-    hashed = exploded.select(
-        id_col,
-        "h",
-        F.substring(F.md5(F.concat_ws("|", F.col("h").cast("string"), F.col("shingle"))), 1, 16).alias("hv"),
-    )
-    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -382,7 +505,7 @@ def minhash_lsh_pairs(
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("h", "minhash"))),
-                    lambda s: s["minhash"],
+                    lambda s: s["minhash"].cast("string"),
                 ),
                 ",",
             ).alias("band_sig")

@@ -125,14 +125,22 @@ def test_token_jaccard_guard_keeps_exact_values(spark):
 def _py_minhash(text, num_hashes, shingle_len):
     import re
 
+    from name_matching_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_coefficients,
+    )
+
     norm = re.sub(r"\s+", " ", text.lower())
     shingles = {norm[i : i + shingle_len] for i in range(max(len(norm) - shingle_len + 1, 1))}
-    out = {}
-    for h in range(num_hashes):
-        out[h] = min(
-            hashlib.md5(f"{h}|{s}".encode()).hexdigest()[:16] for s in shingles
-        )
-    return out
+    a, b = minhash_coefficients(num_hashes)
+    bases = [
+        int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+        for s in shingles
+    ]
+    return {
+        h: min((a[h] * hb + b[h]) % MINHASH_PRIME for hb in bases)
+        for h in range(num_hashes)
+    }
 
 
 def test_minhash_signatures_match_oracle(spark, docs_df):
@@ -326,3 +334,32 @@ def test_token_cap_census_reports_guard_activity(spark):
     # auto cap on a tiny corpus resolves to 1000 -> nothing capped
     row = token_cap_census(df, max_token_df="auto").collect()[0]
     assert row["cap"] == 1000 and row["n_capped_tokens"] == 0
+
+
+def test_shingle_jaccard_rerank_matches_exact_on_candidates(spark, docs_df):
+    """minhash-LSH -> rerank: every pair the exact all-pairs form finds at
+    threshold 0.5 that survives candidate generation carries the IDENTICAL
+    exact jaccard; pairs with no shared shingle get intersection 0."""
+    from name_matching_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_jaccard_pairs,
+        shingle_jaccard_rerank,
+    )
+
+    exact = {
+        (r["id1"], r["id2"]): (r["intersection"], r["size1"], r["size2"], r["jaccard"])
+        for r in shingle_jaccard_pairs(docs_df, threshold=0.5, shingle_len=4).collect()
+    }
+    cand = minhash_lsh_pairs(docs_df, num_hashes=16, bands=4, shingle_len=4)
+    rer = {
+        (r["id1"], r["id2"]): (r["intersection"], r["size1"], r["size2"], r["jaccard"])
+        for r in shingle_jaccard_rerank(
+            docs_df, cand, threshold=0.5, shingle_len=4
+        ).collect()
+    }
+    assert rer  # the fixture's dupes produce candidates
+    for k, v in rer.items():
+        assert exact[k] == v, k  # exact values on every surviving pair
+    # zero-intersection candidates survive the left join (threshold 0 keeps them)
+    all_rer = shingle_jaccard_rerank(docs_df, cand, threshold=0.0, shingle_len=4)
+    assert all_rer.count() == cand.count()

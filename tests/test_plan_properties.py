@@ -69,3 +69,20 @@ def test_parquet_pushdown_and_pruning(spark):
     scan = scan_lines[0]
     assert "LessThan(doc_id,100)" in scan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in scan
+
+
+def test_dict_encoded_plan_shape(spark):
+    """Dictionary-encoded scoring: exactly one ArrowEvalPython over the
+    int-pair columns, and the class-id mapping attaches via a BROADCAST
+    join (a shuffle join on the tiny mapping would serialize the work
+    frame through an exchange)."""
+    recs = person_records(n_entities=30, seed=2)
+    df = spark.createDataFrame(recs.drop(columns=["entity_id"]))
+    out = dedup_table(
+        df, LinkageSchema(id_col="record_id"), keep_non_match=True,
+        dict_encode=True,
+    )
+    plan = _formatted_plan(out)
+    assert _node_count(plan, "ArrowEvalPython") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "class_id" in plan
