@@ -55,3 +55,34 @@ def test_write_match_results_dedups(spark, tmp_path):
     write_match_results(df, out, mode="overwrite")
     back = spark.read.parquet(out)
     assert back.count() == 2
+
+
+def test_catalog_introspection(spark):
+    """S10: stock spark.catalog covers the reference's information_schema
+    queries (db/table/column listing) — pin the surface we claim."""
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    df.createOrReplaceTempView("s10_probe")
+    try:
+        tables = {t.name for t in spark.catalog.listTables()}
+        assert "s10_probe" in tables
+        cols = {c.name: c.dataType for c in spark.catalog.listColumns("s10_probe")}
+        assert cols == {"id": "bigint", "name": "string"}
+        assert spark.catalog.tableExists("s10_probe")
+    finally:
+        spark.catalog.dropTempView("s10_probe")
+    assert not spark.catalog.tableExists("s10_probe")
+
+
+def test_write_report_csv(spark, tmp_path):
+    """S8: driver-sized CSV report with the row cap enforced."""
+    import pandas as pd
+
+    from name_matching_spark.sources.sinks import write_report_csv
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS double_id")
+    out = tmp_path / "report.csv"
+    write_report_csv(df.orderBy("id"), str(out), max_rows=5)
+    back = pd.read_csv(out)
+    assert list(back.columns) == ["id", "double_id"]
+    assert len(back) == 5
+    assert back["double_id"].tolist() == [0, 2, 4, 6, 8]
