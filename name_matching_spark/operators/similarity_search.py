@@ -152,6 +152,77 @@ def _list_col_matrix(col, n: int) -> np.ndarray | None:
     return flat.reshape(n, dim)
 
 
+# auto cap for broadcasting the corpus vectors into the pair-cosine kernel
+# closure: n_vectors * dim float64 elements (32 MB at the default)
+BROADCAST_VECTOR_ELEMENTS = 4_000_000
+
+
+def _collect_vector_dict(
+    df: DataFrame, id_col: str, vec_col: str, max_elements: int
+):
+    """(sorted ids, (n, dim) float64 matrix) for a small corpus, or None
+    when it exceeds ``max_elements`` (or is ragged). One small eager job."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return None
+    dim = first["d"] or 0
+    n = df.count()
+    if dim <= 0 or n * dim > max_elements:
+        return None
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.empty(n, dtype=np.int64)
+    mat = np.empty((n, dim), dtype=np.float64)
+    for i, r in enumerate(rows):
+        v = r[1]
+        if v is None or len(v) != dim:
+            return None  # ragged/null corpus: fall back to the join path
+        ids[i] = r[0]
+        mat[i] = v
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
+def _pair_cosine_from_dict(
+    cand: DataFrame,
+    ids: np.ndarray,
+    mat: np.ndarray,
+    id1: str = "id1",
+    id2: str = "id2",
+    out: str = "cosine",
+) -> DataFrame:
+    """Append cosine(``id1``, ``id2``) looked up from the closure-broadcast
+    vector matrix — the rerank ships two bigints per pair instead of
+    2 x dim floats (the join path's measured cost is Arrow transfer of the
+    vectors, not the einsum). Values are bit-identical to the join path:
+    same float32 -> float64 cast per element, same einsum fold."""
+    import pyarrow as pa
+    from pyspark.sql.types import StructField, StructType
+
+    fields = list(cand.schema.fields)
+    out_schema = StructType(fields + [StructField(out, DoubleType())])
+    names = [f.name for f in fields]
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+
+    def compute(batches):
+        for b in batches:
+            i1 = b.column(b.schema.get_field_index(id1)).to_numpy(
+                zero_copy_only=False
+            )
+            i2 = b.column(b.schema.get_field_index(id2)).to_numpy(
+                zero_copy_only=False
+            )
+            p1 = np.searchsorted(ids, i1)
+            p2 = np.searchsorted(ids, i2)
+            dot = np.einsum("ij,ij->i", mat[p1], mat[p2])
+            denom = norms[p1] * norms[p2]
+            cos = np.where(denom == 0, 0.0, dot / np.where(denom == 0, 1.0, denom))
+            arrays = [b.column(i) for i in range(b.num_columns)]
+            arrays.append(pa.array(cos, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(arrays, names + [out])
+
+    return cand.mapInArrow(compute, out_schema)
+
+
 def _with_pair_cosine(
     df: DataFrame, v1: str, v2: str, out: str = "cosine",
     drop: tuple = None,
@@ -203,24 +274,48 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_vectors: bool | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for every query row against the corpus.
 
     crossJoin + windowed rank; Catalyst broadcasts the smaller side. O(Q*N)
     — the correctness baseline and the right tool when Q is small (rerank
     stage). Ties break on neighbor id for determinism. Self-pairs (same id)
-    are excluded. Norms are computed once per row, not per pair.
+    are excluded.
+
+    ``broadcast_vectors`` (None = auto when the corpus fits
+    ``BROADCAST_VECTOR_ELEMENTS``): the pair stage ships two bigints per
+    pair and looks vectors up from the kernel-closure matrix instead of
+    crossJoining 2 x dim floats per pair — bit-identical cosines. Big
+    corpora fall back to the join path automatically.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-    )
-    scored = _with_pair_cosine(
-        q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id")),
-        "qv", "cv",
-    )
+    vd = None
+    if broadcast_vectors or broadcast_vectors is None:
+        vd = _collect_vector_dict(
+            queries.unionByName(corpus).dropDuplicates([id_col]),
+            id_col, vec_col, BROADCAST_VECTOR_ELEMENTS,
+        )
+        if vd is None and broadcast_vectors:
+            raise ValueError("corpus exceeds BROADCAST_VECTOR_ELEMENTS")
+    if vd is not None:
+        ids, mat = vd
+        cand = (
+            queries.select(F.col(id_col).alias("query_id"))
+            .crossJoin(corpus.select(F.col(id_col).alias("neighbor_id")))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        scored = _pair_cosine_from_dict(cand, ids, mat, "query_id", "neighbor_id")
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        )
+        scored = _with_pair_cosine(
+            q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id")),
+            "qv", "cv",
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -234,22 +329,37 @@ def cosine_near_dupes(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_vectors: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all unordered pairs with
     cosine >= threshold. Exact form (crossJoin + filter) — the correctness
     baseline; at corpus scale route through
-    :func:`hyperplane_lsh_buckets` first and rerank within buckets."""
-    a = df.select(
-        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
-    )
-    b = df.select(
-        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
-    )
-    return (
-        _with_pair_cosine(
+    :func:`hyperplane_lsh_buckets` first and rerank within buckets.
+    ``broadcast_vectors`` as in :func:`brute_force_topk`."""
+    vd = None
+    if broadcast_vectors or broadcast_vectors is None:
+        vd = _collect_vector_dict(df, id_col, vec_col, BROADCAST_VECTOR_ELEMENTS)
+        if vd is None and broadcast_vectors:
+            raise ValueError("corpus exceeds BROADCAST_VECTOR_ELEMENTS")
+    if vd is not None:
+        ids, mat = vd
+        a = df.select(F.col(id_col).alias("id1"))
+        b = df.select(F.col(id_col).alias("id2"))
+        scored = _pair_cosine_from_dict(
+            a.crossJoin(b).filter(F.col("id1") < F.col("id2")), ids, mat
+        )
+    else:
+        a = df.select(
+            F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+        )
+        scored = _with_pair_cosine(
             a.crossJoin(b).filter(F.col("id1") < F.col("id2")), "v1", "v2"
         )
-        .filter(F.col("cosine") >= threshold)
+    return (
+        scored.filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
 
@@ -467,6 +577,7 @@ def lsh_near_dupes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     recall_target: float | None = None,
+    broadcast_vectors: bool | None = None,
 ) -> DataFrame:
     """Bucketed embedding-threshold dedup: the production form of
     :func:`cosine_near_dupes` — multi-band hyperplane LSH candidate
@@ -504,15 +615,24 @@ def lsh_near_dupes(
         .select("id1", "id2")
         .distinct()
     )
-    v1 = df.select(
-        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
-    )
-    v2 = df.select(
-        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
-    )
+    vd = None
+    if broadcast_vectors or broadcast_vectors is None:
+        vd = _collect_vector_dict(df, id_col, vec_col, BROADCAST_VECTOR_ELEMENTS)
+        if vd is None and broadcast_vectors:
+            raise ValueError("corpus exceeds BROADCAST_VECTOR_ELEMENTS")
+    if vd is not None:
+        ids, mat = vd
+        scored = _pair_cosine_from_dict(cand, ids, mat)
+    else:
+        v1 = df.select(
+            F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+        )
+        v2 = df.select(
+            F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+        )
+        scored = _with_pair_cosine(cand.join(v1, "id1").join(v2, "id2"), "v1", "v2")
     return (
-        _with_pair_cosine(cand.join(v1, "id1").join(v2, "id2"), "v1", "v2")
-        .filter(F.col("cosine") >= threshold)
+        scored.filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
 
