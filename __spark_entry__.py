@@ -791,6 +791,16 @@ def q45_lsh_jaccard_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over documents — fully relational (one
+    explode + three groupBys + broadcast corpus stats). Raw doubles out:
+    the gate's %.6f absorbs ln() ULP differences between engines."""
+    from name_matching_spark.operators.text_analysis import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_scores(docs, ["spark", "shuffle", "window", "quantile"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -843,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_threshold_sweep": q43_threshold_sweep,
         "q44_multimodal": q44_multimodal,
         "q45_lsh_jaccard_rerank": q45_lsh_jaccard_rerank,
+        "q46_bm25": q46_bm25,
     }
 
 
@@ -1304,6 +1315,33 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(intersection AS DOUBLE) / (size1 + size2 - intersection), 6) AS jaccard
             FROM j
             WHERE CAST(intersection AS DOUBLE) / (size1 + size2 - intersection) >= 0.5
+        """,
+        "q46_bm25": """
+            WITH toks AS (
+                SELECT doc_id, t.token
+                FROM documents,
+                     LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS t(token)
+                WHERE t.token <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks WHERE token IN ('spark', 'shuffle', 'window', 'quantile')
+                   GROUP BY 1, 2),
+            dft AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+            s AS (SELECT tf.doc_id,
+                         -- every literal cast to DOUBLE: DuckDB parses bare
+                         -- float literals as DECIMAL, whose promotion rules
+                         -- would diverge from Spark's all-double arithmetic
+                         ln(CAST(1.0 AS DOUBLE) + (corpus.n_docs - dft.df_t + CAST(0.5 AS DOUBLE)) / (dft.df_t + CAST(0.5 AS DOUBLE)))
+                         * (tf.tf * CAST(2.2 AS DOUBLE))
+                         / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / corpus.avgdl))
+                         AS term_score
+                  FROM tf
+                  JOIN dft USING (token)
+                  JOIN dl ON dl.doc_id = tf.doc_id
+                  CROSS JOIN corpus)
+            SELECT doc_id, sum(term_score) AS bm25, count(*) AS n_matched_terms
+            FROM s GROUP BY 1
         """,
         "q43_threshold_sweep": """
             WITH t AS (SELECT CAST(value AS DOUBLE) AS score,

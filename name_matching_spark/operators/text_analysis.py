@@ -25,6 +25,7 @@ __all__ = [
     "quality_features",
     "language_id",
     "fingerprint",
+    "bm25_scores",
     "LANG_MARKERS",
 ]
 
@@ -172,4 +173,75 @@ def fingerprint(
         F.col(id_col),
         F.md5(norm).alias("content_fingerprint"),
         F.md5(sorted_tokens).alias("token_fingerprint"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag-of-terms query,
+    entirely relational (no UDF):
+
+        score(D, Q) = sum over t in Q of
+            idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * |D| / avgdl))
+        idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    tf counts repeated tokens (the token frame here is NOT distinct);
+    |D| is the whitespace token count and avgdl/N come from one broadcast
+    one-row aggregate. Shuffle shape: one explode -> groupBy (doc, token),
+    one groupBy token for df, one broadcast of the (tiny) query-term
+    postings stats, one final groupBy doc. Documents matching no query
+    term are absent (score would be 0); raw doubles are emitted (the
+    driver gate's %.6f absorbs ln() ULP differences across engines).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, id_col)
+        .join(F.broadcast(corpus))
+        .withColumn(
+            "term_score",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("term_score").alias("bm25"),
+            F.count("*").alias("n_matched_terms"),
+        )
     )

@@ -363,3 +363,43 @@ def test_shingle_jaccard_rerank_matches_exact_on_candidates(spark, docs_df):
     # zero-intersection candidates survive the left join (threshold 0 keeps them)
     all_rer = shingle_jaccard_rerank(docs_df, cand, threshold=0.0, shingle_len=4)
     assert all_rer.count() == cand.count()
+
+
+def test_bm25_matches_python_oracle(spark, docs_df):
+    import math
+
+    from name_matching_spark.operators.text_analysis import bm25_scores
+
+    terms = ["the", "fox", "spark"]
+    k1, b = 1.2, 0.75
+    tok_lists = {i: [t for t in txt.lower().split() if t] for i, txt in DOCS}
+    dls = {i: len(ts) for i, ts in tok_lists.items() if ts}
+    n_docs, avgdl = len(dls), sum(dls.values()) / len(dls)
+    df_t = {
+        t: sum(1 for ts in tok_lists.values() if t in ts) for t in terms
+    }
+    want = {}
+    for i, ts in tok_lists.items():
+        s, matched = 0.0, 0
+        for t in terms:
+            tf = ts.count(t)
+            if not tf:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n_docs - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+        if matched:
+            want[i] = (s, matched)
+    got = {
+        r["doc_id"]: (r["bm25"], r["n_matched_terms"])
+        for r in bm25_scores(docs_df, terms).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][1] == want[i][1]
+        assert got[i][0] == pytest.approx(want[i][0], rel=1e-12)
+    # repeated terms score higher than single occurrences (tf saturation
+    # still monotone): doc 0 has 'the' twice
+    assert got[0][0] > 0
+    with pytest.raises(ValueError):
+        bm25_scores(docs_df, [])
