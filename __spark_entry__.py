@@ -801,6 +801,40 @@ def q46_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["spark", "shuffle", "window", "quantile"])
 
 
+def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: every purchase matched to the user's
+    latest click within 30 minutes. One union + one window — a single
+    shuffle on user_id, no range join, no row explosion. Timestamps are
+    emitted as epoch microseconds (engine-neutral)."""
+    from name_matching_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").cast("double").alias("purchase_value"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.col("value").cast("double").alias("click_value"),
+    )
+    out = asof_join(
+        left, right, on="ts", by=["user_id"],
+        tolerance=F.expr("INTERVAL 30 MINUTES"), tie_break="event_id",
+    )
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so casting to
+    # TIMESTAMP for unix_micros matches DuckDB's epoch_us on the naive value
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "user_id", "purchase_id", "purchase_value",
+        us("ts").alias("ts_us"),
+        us("ts_right").alias("click_ts_us"),
+        F.col("event_id_right").alias("click_id"),
+        F.col("click_value_right").alias("click_value"),
+        (us("ts") - us("ts_right")).alias("lag_us"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -854,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_multimodal": q44_multimodal,
         "q45_lsh_jaccard_rerank": q45_lsh_jaccard_rerank,
         "q46_bm25": q46_bm25,
+        "q47_asof_join": q47_asof_join,
     }
 
 
@@ -1315,6 +1350,41 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(intersection AS DOUBLE) / (size1 + size2 - intersection), 6) AS jaccard
             FROM j
             WHERE CAST(intersection AS DOUBLE) / (size1 + size2 - intersection) >= 0.5
+        """,
+        "q47_asof_join": """
+            WITH l AS (SELECT user_id, ts, event_id AS purchase_id,
+                              CAST(value AS DOUBLE) AS purchase_value
+                       FROM events WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts, event_id,
+                         CAST(value AS DOUBLE) AS click_value
+                  FROM events WHERE event_type = 'click'),
+            u AS (
+                SELECT user_id, ts, purchase_id, purchase_value, 1 AS side,
+                       NULL::TIMESTAMP AS r_ts, NULL::BIGINT AS r_id,
+                       NULL::DOUBLE AS r_val, NULL::BIGINT AS tie
+                FROM l
+                UNION ALL
+                SELECT user_id, ts, NULL, NULL, 0, ts, event_id, click_value, event_id
+                FROM r),
+            m AS (SELECT *,
+                         last_value(r_ts IGNORE NULLS) OVER w AS m_ts,
+                         last_value(r_id IGNORE NULLS) OVER w AS m_id,
+                         last_value(r_val IGNORE NULLS) OVER w AS m_val
+                  FROM u
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts ASC, side ASC, tie ASC NULLS FIRST
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            f AS (SELECT user_id, ts, purchase_id, purchase_value,
+                         CASE WHEN ts - m_ts <= INTERVAL 30 MINUTE THEN m_ts END AS c_ts,
+                         CASE WHEN ts - m_ts <= INTERVAL 30 MINUTE THEN m_id END AS click_id,
+                         CASE WHEN ts - m_ts <= INTERVAL 30 MINUTE THEN m_val END AS click_value
+                  FROM m WHERE side = 1)
+            SELECT user_id, purchase_id, purchase_value,
+                   epoch_us(ts) AS ts_us,
+                   epoch_us(c_ts) AS click_ts_us,
+                   click_id, click_value,
+                   epoch_us(ts) - epoch_us(c_ts) AS lag_us
+            FROM f
         """,
         "q46_bm25": """
             WITH toks AS (
