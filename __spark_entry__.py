@@ -835,6 +835,45 @@ def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join, bucketized: clicks falling inside any same-user
+    incident window [error_ts, error_ts + 60 min). Equi-join on
+    (user, time-bucket) + residual containment filter — never a per-key
+    cross product."""
+    from name_matching_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+    )
+    windows = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("end"),
+        F.col("event_id").alias("incident_id"),
+    )
+    out = interval_join(clicks, windows, on="ts", by=["user_id"], grain_seconds=900)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "user_id", "click_id", "incident_id",
+        us("ts").alias("ts_us"),
+        us("start").alias("start_us"),
+    )
+
+
+def q49_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split by content hash of doc_id —
+    stable under repartitioning/re-ingestion (randomSplit is not). The
+    full per-row assignment is value-hashed, not just the census."""
+    from name_matching_spark.operators.sampling import stratified_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id"
+    )
+    return out.select("doc_id", "split")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -889,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_lsh_jaccard_rerank": q45_lsh_jaccard_rerank,
         "q46_bm25": q46_bm25,
         "q47_asof_join": q47_asof_join,
+        "q48_interval_join": q48_interval_join,
+        "q49_stratified_split": q49_stratified_split,
     }
 
 
@@ -1350,6 +1391,28 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(intersection AS DOUBLE) / (size1 + size2 - intersection), 6) AS jaccard
             FROM j
             WHERE CAST(intersection AS DOUBLE) / (size1 + size2 - intersection) >= 0.5
+        """,
+        "q49_stratified_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS b
+                  FROM documents)
+        """,
+        "q48_interval_join": """
+            WITH c AS (SELECT user_id, ts, event_id AS click_id
+                       FROM events WHERE event_type = 'click'),
+            w AS (SELECT user_id, ts AS start_ts,
+                         ts + INTERVAL 60 MINUTE AS end_ts,
+                         event_id AS incident_id
+                  FROM events WHERE event_type = 'error')
+            SELECT c.user_id, c.click_id, w.incident_id,
+                   epoch_us(c.ts) AS ts_us,
+                   epoch_us(w.start_ts) AS start_us
+            FROM c JOIN w ON c.user_id = w.user_id
+                         AND c.ts >= w.start_ts AND c.ts < w.end_ts
         """,
         "q47_asof_join": """
             WITH l AS (SELECT user_id, ts, event_id AS purchase_id,

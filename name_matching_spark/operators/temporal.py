@@ -23,7 +23,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: list[str] | None = None,
+    grain_seconds: int = 900,
+) -> DataFrame:
+    """Join point rows to every interval row containing them
+    (``start <= point < end``, half-open), scalably.
+
+    A naive theta join is a per-key cross product. Instead both sides are
+    bucketized on a fixed time grain: each interval explodes into the
+    buckets it covers (``len/grain + 1`` rows — bounded for bounded
+    intervals), each point lands in ONE bucket, and the join becomes an
+    equi-join on (by..., bucket) plus a residual containment filter. A
+    point matches each containing interval exactly once (its bucket occurs
+    once per interval). Pick ``grain_seconds`` near the typical interval
+    length: too coarse inflates the residual filter's input, too fine
+    inflates the interval explode.
+
+    Column names of ``points`` and ``intervals`` must be disjoint apart
+    from ``by``. Empty/negative intervals (``end <= start``) never match.
+    """
+    by = list(by or [])
+    overlap = set(points.columns) & set(intervals.columns) - set(by)
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+    grain_us = F.lit(int(grain_seconds) * 1_000_000)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    pb = points.withColumn("_b", F.floor(us(on) / grain_us))
+    iv = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(us(start_col) / grain_us),
+                    F.floor((us(end_col) - 1) / grain_us),
+                )
+            ),
+        )
+    )
+    return (
+        pb.join(iv, [*by, "_b"])
+        .filter((F.col(on) >= F.col(start_col)) & (F.col(on) < F.col(end_col)))
+        .drop("_b")
+    )
 
 
 def asof_join(

@@ -403,3 +403,29 @@ def test_bm25_matches_python_oracle(spark, docs_df):
     assert got[0][0] > 0
     with pytest.raises(ValueError):
         bm25_scores(docs_df, [])
+
+
+def test_stratified_split_deterministic_and_proportional(spark):
+    from name_matching_spark.operators.sampling import stratified_split
+
+    df = spark.createDataFrame([(i,) for i in range(20_000)], ["id"])
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["id"]: r["split"] for r in stratified_split(df, w, "id").collect()}
+    # repartitioning must not change any assignment (unlike randomSplit)
+    b = {
+        r["id"]: r["split"]
+        for r in stratified_split(df.repartition(17), w, "id").collect()
+    }
+    assert a == b
+    counts = pd.Series(list(a.values())).value_counts(normalize=True)
+    assert counts["train"] == pytest.approx(0.8, abs=0.02)
+    assert counts["val"] == pytest.approx(0.1, abs=0.01)
+    assert counts["test"] == pytest.approx(0.1, abs=0.01)
+    # a different salt produces a different (still complete) assignment
+    c = {
+        r["id"]: r["split"]
+        for r in stratified_split(df, w, "id", salt="fold2").collect()
+    }
+    assert c != a and set(c.values()) == {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        stratified_split(df, {"a": 0.5, "b": 0.4}, "id")

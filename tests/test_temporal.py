@@ -119,3 +119,49 @@ def test_asof_rejects_bad_args(spark, trades_quotes):
         asof_join(trades, quotes, on="ts", by=["sym"], direction="sideways")
     with pytest.raises(ValueError):
         asof_join(trades, quotes, on="ts", by=["sym"], tie_break="nope")
+
+
+def test_interval_join_containment(spark):
+    from name_matching_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100),  # == start: included
+            (1, _ts("2024-01-01T10:29:59"), 101),  # inside
+            (1, _ts("2024-01-01T10:30:00"), 102),  # == end: excluded
+            (1, _ts("2024-01-01T12:00:00"), 103),  # outside
+            (2, _ts("2024-01-01T10:10:00"), 104),  # other key: no interval
+        ],
+        "k long, ts timestamp, pid integer",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T10:30:00"), 7),
+            # overlapping second interval catches pid 101 too
+            (1, _ts("2024-01-01T10:15:00"), _ts("2024-01-01T11:00:00"), 8),
+            # empty interval: never matches
+            (1, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T10:00:00"), 9),
+        ],
+        "k long, s timestamp, e timestamp, iid integer",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, on="ts", start_col="s", end_col="e",
+            by=["k"], grain_seconds=600,
+        ).collect()
+    }
+    # 102 is == end of interval 7 (excluded) but inside interval 8
+    assert got == {(100, 7), (101, 7), (101, 8), (102, 8)}
+    # grain choice cannot change results — only the plan
+    for grain in (1, 37, 86_400):
+        g2 = {
+            (r["pid"], r["iid"])
+            for r in interval_join(
+                points, intervals, on="ts", start_col="s", end_col="e",
+                by=["k"], grain_seconds=grain,
+            ).collect()
+        }
+        assert g2 == got, grain
+    with pytest.raises(ValueError):
+        interval_join(points, points, on="ts", start_col="s", end_col="e", by=["k"])
