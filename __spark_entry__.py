@@ -874,6 +874,48 @@ def q49_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q50_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event counts and decimal-exact value
+    sums by event type, explicit pivot value list (deterministic schema)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum"),
+        )
+    )
+    return out.select(
+        "user_id",
+        *[F.col(f"{t}_n").alias(f"n_{t}") for t in types],
+        *[F.col(f"{t}_sum").alias(f"sum_{t}") for t in types],
+    )
+
+
+def q51_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-analytics surface: rank / percent_rank / ntile / lag / lead
+    over orders per priority, fully deterministic ordering (totalprice
+    desc, orderkey asc)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 450000
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    price = F.col("o_totalprice").cast("double")
+    return orders.select(
+        "o_orderpriority", "o_orderkey",
+        price.alias("price"),
+        F.rank().over(w).alias("rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag(price, 1).over(w).alias("prev_price"),
+        F.lead(price, 1).over(w).alias("next_price"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -930,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_asof_join": q47_asof_join,
         "q48_interval_join": q48_interval_join,
         "q49_stratified_split": q49_stratified_split,
+        "q50_pivot": q50_pivot,
+        "q51_window_analytics": q51_window_analytics,
     }
 
 
@@ -1391,6 +1435,33 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(intersection AS DOUBLE) / (size1 + size2 - intersection), 6) AS jaccard
             FROM j
             WHERE CAST(intersection AS DOUBLE) / (size1 + size2 - intersection) >= 0.5
+        """,
+        "q50_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_error
+            FROM events GROUP BY user_id
+        """,
+        "q51_window_analytics": """
+            SELECT o_orderpriority, o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) AS price,
+                   rank() OVER w AS rnk,
+                   percent_rank() OVER w AS pct_rank,
+                   ntile(4) OVER w AS quartile,
+                   lag(CAST(o_totalprice AS DOUBLE), 1) OVER w AS prev_price,
+                   lead(CAST(o_totalprice AS DOUBLE), 1) OVER w AS next_price
+            FROM orders
+            WHERE o_totalprice > 450000
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
         """,
         "q49_stratified_split": """
             SELECT doc_id,
