@@ -916,6 +916,74 @@ def q51_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis per user: first signup -> first click at or
+    after it -> first purchase at or after that click; staged min-joins
+    (each stage's floor is the previous stage's timestamp)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+
+    def stage(etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id", us("ts").alias("e_us")
+        )
+
+    sgn = stage("signup").groupBy("user_id").agg(F.min("e_us").alias("signup_us"))
+    clk = (
+        stage("click")
+        .join(sgn, "user_id")
+        .filter(F.col("e_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("e_us").alias("click_us"))
+    )
+    pur = (
+        stage("purchase")
+        .join(clk, "user_id")
+        .filter(F.col("e_us") >= F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("e_us").alias("purchase_us"))
+    )
+    return (
+        sgn.join(clk, "user_id", "left")
+        .join(pur, "user_id", "left")
+        .select(
+            "user_id", "signup_us", "click_us", "purchase_us",
+            F.when(F.col("purchase_us").isNotNull(), 1).otherwise(0).alias("converted"),
+        )
+    )
+
+
+def q53_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record selection after clustering: per entity cluster, keep
+    the member with the longest raw name (tie: lowest id) plus the member
+    count — the batch survivorship step of an ER pipeline."""
+    from name_matching_spark.operators.clustering import assign_clusters, select_canonical
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    a = norm.select(F.col("record_id").alias("id1"), F.col("full_std").alias("k"))
+    b = norm.select(F.col("record_id").alias("id2"), F.col("full_std").alias("k"))
+    edges = a.join(b, "k").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+    clusters = assign_clusters(norm.select("record_id"), edges)
+    records = person.select(
+        "record_id",
+        F.length(
+            F.concat_ws(" ", F.col("first_name"), F.col("middle_name_last_name"))
+        ).alias("name_len"),
+    )
+    out = select_canonical(
+        records, clusters,
+        order_cols=[F.desc("name_len"), F.asc("record_id")],
+    )
+    return out.select(
+        "cluster_id",
+        F.col("record_id").alias("survivor_id"),
+        F.col("name_len").cast("long").alias("name_len"),
+        "n_members",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -974,6 +1042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_stratified_split": q49_stratified_split,
         "q50_pivot": q50_pivot,
         "q51_window_analytics": q51_window_analytics,
+        "q52_funnel": q52_funnel,
+        "q53_survivorship": q53_survivorship,
     }
 
 
@@ -1435,6 +1505,41 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(intersection AS DOUBLE) / (size1 + size2 - intersection), 6) AS jaccard
             FROM j
             WHERE CAST(intersection AS DOUBLE) / (size1 + size2 - intersection) >= 0.5
+        """,
+        "q52_funnel": """
+            WITH sgn AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+                         FROM events WHERE event_type = 'signup' GROUP BY 1),
+            clk AS (SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+                    FROM events e JOIN sgn ON e.user_id = sgn.user_id
+                    WHERE e.event_type = 'click'
+                      AND epoch_us(e.ts) >= sgn.signup_us
+                    GROUP BY 1),
+            pur AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+                    FROM events e JOIN clk ON e.user_id = clk.user_id
+                    WHERE e.event_type = 'purchase'
+                      AND epoch_us(e.ts) >= clk.click_us
+                    GROUP BY 1)
+            SELECT sgn.user_id, signup_us, click_us, purchase_us,
+                   CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END AS converted
+            FROM sgn
+            LEFT JOIN clk ON clk.user_id = sgn.user_id
+            LEFT JOIN pur ON pur.user_id = sgn.user_id
+        """,
+        "q53_survivorship": _PERSON_CTE + f""",
+            named AS (SELECT record_id,
+                trim(lower(first_name) || ' ' ||
+                     trim({_ORACLE_MIDDLE} || ' ' || {_ORACLE_LAST})) AS full_std,
+                length(first_name || ' ' || middle_name_last_name) AS name_len
+                FROM person),
+            cl AS (SELECT record_id, name_len,
+                          min(record_id) OVER (PARTITION BY full_std) AS cluster_id,
+                          count(*) OVER (PARTITION BY full_std) AS n_members,
+                          row_number() OVER (PARTITION BY full_std
+                                             ORDER BY name_len DESC, record_id ASC) AS rn
+                   FROM named)
+            SELECT cluster_id, record_id AS survivor_id,
+                   CAST(name_len AS BIGINT) AS name_len, n_members
+            FROM cl WHERE rn = 1
         """,
         "q50_pivot": """
             SELECT user_id,

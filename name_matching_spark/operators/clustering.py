@@ -16,7 +16,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "assign_clusters"]
+__all__ = ["connected_components", "assign_clusters", "select_canonical"]
+
+
+def select_canonical(
+    records: "DataFrame",
+    clusters: "DataFrame",
+    order_cols: list,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+) -> "DataFrame":
+    """Golden-record survivorship: one canonical row per entity cluster.
+
+    ``clusters`` maps ``id_col`` -> ``cluster_col`` (the
+    :func:`assign_clusters` output); the survivor is the first record per
+    cluster under ``order_cols`` (caller supplies a DETERMINISTIC total
+    order — end with the id column). Output: the survivor's full record +
+    ``cluster_id`` + ``n_members``. One join + one window — shuffles on
+    cluster id only.
+    """
+    from pyspark.sql.window import Window
+
+    joined = records.join(clusters, id_col)
+    w = Window.partitionBy(cluster_col).orderBy(*order_cols)
+    n = Window.partitionBy(cluster_col)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(n))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def _canonical(edges: DataFrame) -> DataFrame:

@@ -73,3 +73,27 @@ def test_assign_clusters_singletons(spark):
     matches = spark.createDataFrame([("a", "b")], ["id1", "id2"])
     got = {r["record_id"]: r["cluster_id"] for r in assign_clusters(records, matches).collect()}
     assert got == {"a": "a", "b": "a", "c": "c", "d": "d"}
+
+
+def test_select_canonical_survivorship(spark):
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.operators.clustering import select_canonical
+
+    records = spark.createDataFrame(
+        [(1, "Jo"), (2, "Joseph"), (3, "Jos"), (10, "Ana"), (11, "Ana")],
+        ["record_id", "name"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        ["record_id", "cluster_id"],
+    )
+    out = {
+        r["cluster_id"]: (r["record_id"], r["n_members"])
+        for r in select_canonical(
+            records.withColumn("name_len", F.length("name")),
+            clusters,
+            order_cols=[F.desc("name_len"), F.asc("record_id")],
+        ).collect()
+    }
+    assert out == {1: (2, 3), 10: (10, 2)}  # longest name; tie -> lowest id
