@@ -86,3 +86,20 @@ def test_dict_encoded_plan_shape(spark):
     assert _node_count(plan, "ArrowEvalPython") == 1, plan
     assert "BroadcastHashJoin" in plan
     assert "class_id" in plan
+
+
+def test_asof_and_interval_join_plans_have_no_cartesian(spark):
+    """The temporal joins must stay equi-join/window shaped: no
+    CartesianProduct or BroadcastNestedLoopJoin anywhere (the naive
+    range-join formulation Catalyst would pick for theta joins)."""
+    import __spark_entry__ as e
+
+    for q in ("q47_asof_join", "q48_interval_join"):
+        df = e.queries()[q](spark, "/root/testdata/sf0.001")
+        plan = _formatted_plan(df)
+        assert _node_count(plan, "CartesianProduct") == 0, q
+        assert _node_count(plan, "BroadcastNestedLoopJoin") == 0, q
+    # as-of: the window is the only wide op — exactly one Exchange
+    # (hashpartitioning on user_id) below it feeds sort+window
+    asof_plan = _formatted_plan(e.queries()["q47_asof_join"](spark, "/root/testdata/sf0.001"))
+    assert _node_count(asof_plan, "Window") == 1
