@@ -822,9 +822,15 @@ def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, on="ts", by=["user_id"],
         tolerance=F.expr("INTERVAL 30 MINUTES"), tie_break="event_id",
     )
-    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so casting to
-    # TIMESTAMP for unix_micros matches DuckDB's epoch_us on the naive value
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    # ts is TIMESTAMP_NTZ: epoch micros MUST be derived with pure
+    # wall-clock arithmetic (timestampdiff on NTZ), NOT via
+    # cast("timestamp") + unix_micros — the cast goes through the SESSION
+    # time zone, and the driver's session is not guaranteed UTC (verified:
+    # a non-UTC session shifts the cast path by the zone offset while this
+    # form and DuckDB's epoch_us are invariant)
+    us = lambda c: F.expr(  # noqa: E731
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    )
     return out.select(
         "user_id", "purchase_id", "purchase_value",
         us("ts").alias("ts_us"),
@@ -853,7 +859,10 @@ def q48_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("incident_id"),
     )
     out = interval_join(clicks, windows, on="ts", by=["user_id"], grain_seconds=900)
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    # TZ-independent epoch emission (see q47)
+    us = lambda c: F.expr(  # noqa: E731
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    )
     return out.select(
         "user_id", "click_id", "incident_id",
         us("ts").alias("ts_us"),
@@ -921,7 +930,10 @@ def q52_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     after it -> first purchase at or after that click; staged min-joins
     (each stage's floor is the previous stage's timestamp)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    # TZ-independent epoch emission (see q47)
+    us = lambda c: F.expr(  # noqa: E731
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    )
 
     def stage(etype: str) -> DataFrame:
         return ev.filter(F.col("event_type") == etype).select(
