@@ -22,3 +22,32 @@ def test_queries_run_at_smallest_sf(spark):
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf)
         assert df.count() >= 0, name
+
+
+def test_time_queries_session_tz_invariant(spark):
+    """The driver's session TZ is not guaranteed UTC: every time-emitting
+    query must produce identical values under any session zone (epoch
+    emission via NTZ wall-clock arithmetic, not cast-through-session-TZ)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    names = [
+        "q08_event_windows", "q37_sliding_windows", "q38_session_windows",
+        "q47_asof_join", "q48_interval_join", "q52_funnel",
+    ]
+    tz_key = "spark.sql.session.timeZone"
+    orig = spark.conf.get(tz_key)
+    try:
+        results = {}
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set(tz_key, tz)
+            for name in names:
+                rows = frozenset(
+                    tuple(r) for r in qs[name](spark, "/root/testdata/sf0.001").collect()
+                )
+                results.setdefault(name, {})[tz] = rows
+    finally:
+        spark.conf.set(tz_key, orig)
+    for name, by_tz in results.items():
+        vals = list(by_tz.values())
+        assert vals[0] == vals[1] == vals[2], f"{name} varies with session TZ"
