@@ -358,9 +358,16 @@ def q16_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     person = _person_df(spark, sf_dir)
     norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
-    a = norm.select(F.col("record_id").alias("id1"), F.col("full_std").alias("k"))
-    b = norm.select(F.col("record_id").alias("id2"), F.col("full_std").alias("k"))
-    edges = a.join(b, "k").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+    # STAR edges, not the k^2 equality self-join: for equality-keyed
+    # components, (group-min, member) edges span the identical components
+    # with O(k) edges per key — a hot name contributes k rows instead of
+    # k^2 join rows, and large-star/small-star converges immediately
+    wmin = Window.partitionBy("full_std")
+    edges = (
+        norm.withColumn("_root", F.min("record_id").over(wmin))
+        .filter(F.col("record_id") != F.col("_root"))
+        .select(F.col("_root").alias("id1"), F.col("record_id").alias("id2"))
+    )
     return assign_clusters(norm.select("record_id"), edges).select(
         "record_id", "cluster_id"
     )
@@ -974,9 +981,16 @@ def q53_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     person = _person_df(spark, sf_dir)
     norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
-    a = norm.select(F.col("record_id").alias("id1"), F.col("full_std").alias("k"))
-    b = norm.select(F.col("record_id").alias("id2"), F.col("full_std").alias("k"))
-    edges = a.join(b, "k").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+    # STAR edges, not the k^2 equality self-join: for equality-keyed
+    # components, (group-min, member) edges span the identical components
+    # with O(k) edges per key — a hot name contributes k rows instead of
+    # k^2 join rows, and large-star/small-star converges immediately
+    wmin = Window.partitionBy("full_std")
+    edges = (
+        norm.withColumn("_root", F.min("record_id").over(wmin))
+        .filter(F.col("record_id") != F.col("_root"))
+        .select(F.col("_root").alias("id1"), F.col("record_id").alias("id2"))
+    )
     clusters = assign_clusters(norm.select("record_id"), edges)
     records = person.select(
         "record_id",
