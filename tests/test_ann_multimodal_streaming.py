@@ -334,3 +334,57 @@ def test_ivf_kmeans_centroids(spark, vectors):
     recall_det = len(det & exact) / len(exact)
     assert recall_km >= 0.6
     assert recall_km >= recall_det - 0.15  # comparable or better
+
+
+def test_session_windows_merge_across_micro_batches(spark, tmp_path):
+    """Session windows in true streaming mode: events arriving in DIFFERENT
+    micro-batches but within the gap merge into one session; a beyond-gap
+    event opens a new one."""
+    import datetime as dt
+
+    from name_matching_spark.streaming.events import session_event_counts
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+    b0 = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 0, 0), "click", 1.0),
+            (dt.datetime(2024, 1, 1, 0, 10), "click", 1.0),
+        ],
+        schema,
+    )
+    b0.write.parquet(str(src / "b0"))
+
+    stream = spark.readStream.schema(b0.schema).parquet(str(src / "*"))
+    agg = session_event_counts(stream, gap_duration="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: one event 20 min after the last (merges), one
+        # event 2 hours later (new session)
+        spark.createDataFrame(
+            [
+                (dt.datetime(2024, 1, 1, 0, 30), "click", 1.0),
+                (dt.datetime(2024, 1, 1, 2, 30), "click", 1.0),
+            ],
+            schema,
+        ).write.parquet(str(src / "b1"))
+        q.processAllAvailable()
+        rows = sorted(
+            (r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql("select * from sess_counts").collect()
+        )
+        assert len(rows) == 2
+        s0, s1 = rows
+        assert s0[2] == 3  # 0:00 + 0:10 + 0:30 merged across batches
+        assert s0[0] == dt.datetime(2024, 1, 1, 0, 0)
+        assert s0[1] == dt.datetime(2024, 1, 1, 1, 0)  # last event + gap
+        assert s1[2] == 1 and s1[0] == dt.datetime(2024, 1, 1, 2, 30)
+    finally:
+        q.stop()
