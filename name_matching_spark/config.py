@@ -36,6 +36,10 @@ class LinkageJobConfig:
     blocking: BlockingConfig
     matcher: MatcherConfig
     num_ranges: int = 16
+    # None = adaptive (dictionary-encode the scoring payload when the
+    # corpus has <= dict_max_classes distinct payloads; see plans.linkage)
+    dict_encode: bool | None = None
+    dict_max_classes: int = 65536
 
 
 def _csv_list(raw: str) -> list[str]:
@@ -126,6 +130,21 @@ def load_linkage_config(path: str | None = None) -> LinkageJobConfig:
     if cp.has_section("checkpoint"):
         check_keys("checkpoint", {"num_ranges"})
         job.num_ranges = cp["checkpoint"].getint("num_ranges", job.num_ranges)
+
+    if cp.has_section("performance"):
+        check_keys("performance", {"dict_encode", "dict_max_classes"})
+        p = cp["performance"]
+        if "dict_encode" in p:
+            raw = p.get("dict_encode").strip().lower()
+            if raw == "auto":
+                job.dict_encode = None
+            elif raw in ("true", "false"):
+                job.dict_encode = raw == "true"
+            else:
+                raise ValueError(
+                    f"[performance] dict_encode must be auto/true/false, got {raw!r}"
+                )
+        job.dict_max_classes = p.getint("dict_max_classes", job.dict_max_classes)
 
     # keep matcher/schema geo coupling coherent: matcher scores the schema's
     # geo fields unless the file decoupled them on purpose

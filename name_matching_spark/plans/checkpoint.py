@@ -48,12 +48,20 @@ class CheckpointedLinkage:
         schema: LinkageSchema | None = None,
         blocking: BlockingConfig | None = None,
         matcher: MatcherConfig | None = None,
+        dict_encode: bool | None = None,
+        dict_max_classes: int = 65536,
     ):
         self.output_dir = output_dir
         self.num_ranges = num_ranges
         self.schema = schema or LinkageSchema()
         self.blocking = blocking or BlockingConfig()
         self.matcher = matcher or MatcherConfig()
+        # dictionary-encoded scoring (see plans.linkage): built ONCE over
+        # the full corpus, reused by every range job. Deliberately NOT part
+        # of the config fingerprint — results are bit-identical either way,
+        # so resume across a knob change is safe.
+        self.dict_encode = dict_encode
+        self.dict_max_classes = dict_max_classes
         os.makedirs(os.path.join(output_dir, "_manifest"), exist_ok=True)
 
     # -- manifest -----------------------------------------------------------
@@ -107,8 +115,21 @@ class CheckpointedLinkage:
     # -- execution ----------------------------------------------------------
     def run(self, df: DataFrame, keep_non_match: bool = False) -> list[int]:
         """Process all incomplete ranges; returns the ranges executed now."""
+        from name_matching_spark.plans.linkage import _build_class_encoding
+
         work = prepare_linkage_frame(df, self.schema, self.matcher)
         payload_cols = scoring_struct_cols(self.matcher)
+        class_dict = None
+        if self.dict_encode is None or self.dict_encode:
+            enc = _build_class_encoding(
+                [work], self.matcher, self.dict_max_classes,
+                required=bool(self.dict_encode),
+            )
+            if enc is not None:
+                (work,), class_dict = enc
+                payload_cols = ["class_id"] + (
+                    ["birthdate_std"] if self.matcher.use_birthdate else []
+                )
 
         # normalize once, reuse for every range (per-range jobs only differ
         # in the range predicate, pushed below the pair join)
@@ -119,14 +140,19 @@ class CheckpointedLinkage:
             for i in range(self.num_ranges):
                 if i in done:
                     continue
-                self._run_range(work, payload_cols, i, keep_non_match)
+                self._run_range(work, payload_cols, i, keep_non_match, class_dict)
                 executed.append(i)
             return executed
         finally:
             work.unpersist()
 
     def _run_range(
-        self, work: DataFrame, payload_cols: list[str], i: int, keep_non_match: bool
+        self,
+        work: DataFrame,
+        payload_cols: list[str],
+        i: int,
+        keep_non_match: bool,
+        class_dict: dict | None = None,
     ) -> None:
         range_frames = []
         for p in self.blocking.passes:
@@ -143,7 +169,7 @@ class CheckpointedLinkage:
         if len(range_frames) > 1:
             pairs = pairs.dropDuplicates(["id1", "id2"])
 
-        results = score_pairs(pairs, self.matcher)
+        results = score_pairs(pairs, self.matcher, class_dict=class_dict)
         if not keep_non_match:
             results = results.filter(F.col("classification") != "non_match")
 

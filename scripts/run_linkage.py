@@ -87,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
         schema=job.schema,
         blocking=job.blocking,
         matcher=job.matcher,
+        dict_encode=job.dict_encode,
+        dict_max_classes=job.dict_max_classes,
     )
     executed = runner.run(df)
     print(json.dumps({"ranges_executed": executed, "skipped": job.num_ranges - len(executed)}))

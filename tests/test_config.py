@@ -160,3 +160,20 @@ def test_match_names_cli(capsys):
     assert got["classification"] == want_cls
     assert got["components"]["first_name"] == round(want_comps["first_name"], 6)
     assert got["components"]["birthdate"] == 1.0
+
+
+def test_performance_section_round_trip(tmp_path):
+    from name_matching_spark.config import load_linkage_config
+
+    ini = tmp_path / "perf.ini"
+    ini.write_text("[performance]\ndict_encode = false\ndict_max_classes = 123\n")
+    job = load_linkage_config(str(ini))
+    assert job.dict_encode is False
+    assert job.dict_max_classes == 123
+    ini.write_text("[performance]\ndict_encode = auto\n")
+    assert load_linkage_config(str(ini)).dict_encode is None
+    ini.write_text("[performance]\ndict_encode = maybe\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_linkage_config(str(ini))

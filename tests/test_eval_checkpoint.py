@@ -129,3 +129,25 @@ def test_threshold_sweep_matches_single_threshold_counts(spark):
     # boundary row (score == threshold) is predicted-positive: at 0.5 the
     # 0.5/match row is a TP
     assert sweep[0.5]["tp"] == 3 and sweep[0.5]["fn"] == 1
+
+
+def test_checkpointed_dict_encode_matches_direct(spark, tmp_path):
+    """Checkpointed ranges with dictionary-encoded scoring produce the
+    exact same written results as the direct payload path, and resume
+    works across the knob (it is excluded from the config fingerprint)."""
+    df = spark.createDataFrame(person_records(n_entities=30, seed=6).drop(columns=["entity_id"]))
+    out_a = str(tmp_path / "direct")
+    out_b = str(tmp_path / "encoded")
+    CheckpointedLinkage(out_a, num_ranges=3, schema=SCHEMA, dict_encode=False).run(df)
+    CheckpointedLinkage(out_b, num_ranges=3, schema=SCHEMA, dict_encode=True).run(df)
+    a = {
+        (r["id1"], r["id2"]): (r["score"], r["classification"])
+        for r in spark.read.parquet(out_a + "/matches").collect()
+    }
+    b = {
+        (r["id1"], r["id2"]): (r["score"], r["classification"])
+        for r in spark.read.parquet(out_b + "/matches").collect()
+    }
+    assert a == b and len(a) > 0
+    # knob change does NOT invalidate manifests: nothing reruns
+    assert CheckpointedLinkage(out_b, num_ranges=3, schema=SCHEMA, dict_encode=False).run(df) == []
