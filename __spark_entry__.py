@@ -1010,6 +1010,35 @@ def q53_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_metaphone_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metaphone-style phonetic canonicalization (north_star's
+    "double-metaphone-style" blocking-key family; soundex's finer-grained
+    companion, reference phonetic key at ``src/matcher.py:453-485``). Pure
+    JVM regexp fold — the oracle renders the SAME rule table
+    (``functions/phonetic.METAPHONE_RULES``) as DuckDB SQL, so the two
+    engines cannot drift. Emits the per-record codes plus the composite
+    block key used by the ``metaphone`` blocking pass."""
+    from name_matching_spark.functions.phonetic import metaphone_key
+    from name_matching_spark.functions.udfs import parse_name_udf, standardize_udf
+
+    person = _person_df(spark, sf_dir)
+    parsed = person.withColumn(
+        "_p", parse_name_udf(F.col("first_name"), F.col("middle_name_last_name"))
+    )
+    mp_last = metaphone_key(standardize_udf(F.col("_p.last_name")))
+    first_char = F.upper(F.substring(standardize_udf(F.col("first_name")), 1, 1))
+    return parsed.select(
+        "record_id",
+        metaphone_key(standardize_udf(F.col("first_name"))).alias("mp_first"),
+        mp_last.alias("mp_last"),
+        F.concat_ws(
+            "|",
+            F.when(first_char == "", "UNKNOWN").otherwise(first_char),
+            F.when(mp_last == "", "0000").otherwise(mp_last),
+        ).alias("block_key"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1070,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_window_analytics": q51_window_analytics,
         "q52_funnel": q52_funnel,
         "q53_survivorship": q53_survivorship,
+        "q54_metaphone_keys": q54_metaphone_keys,
     }
 
 
@@ -1384,6 +1414,8 @@ def _q25_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from name_matching_spark.functions.phonetic import metaphone_sql as _metaphone_sql
+
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1741,6 +1773,20 @@ def oracle_sql() -> dict[str, str]:
             lasts AS (SELECT {_ORACLE_LAST} AS last_std FROM person)
             SELECT {_sdx_sql("last_std")} AS sdx_last, count(*) AS n_records
             FROM lasts GROUP BY 1
+        """,
+        "q54_metaphone_keys": _PERSON_CTE + f""",
+            base AS (SELECT record_id, first_name, {_ORACLE_LAST} AS last_std
+                     FROM person),
+            keys AS (SELECT record_id,
+                            {_metaphone_sql("first_name")} AS mp_first,
+                            {_metaphone_sql("last_std")} AS mp_last,
+                            upper(substr(first_name, 1, 1)) AS fc
+                     FROM base)
+            SELECT record_id, mp_first, mp_last,
+                   (CASE WHEN fc = '' THEN 'UNKNOWN' ELSE fc END) || '|' ||
+                   (CASE WHEN mp_last = '' THEN '0000' ELSE mp_last END)
+                       AS block_key
+            FROM keys
         """,
         "q12_parse_names": _PERSON_CTE + f"""
             SELECT record_id,

@@ -56,6 +56,9 @@ def blocking_key_column(kind: str) -> Column:
       canonicalization pass.
     - ``token_sorted``: the token-sorted full name (exact-key pass; catches
       token-order swaps that phonetic keys on first/last miss).
+    - ``metaphone``: first char of first name + metaphone-style code of the
+      last name (north_star's "double-metaphone-style canonicalization"
+      companion to soundex — finer-grained, pure JVM expressions).
     """
     if kind == "phonetic":
         first_char = F.upper(F.substring(F.col("first_std"), 1, 1))
@@ -67,6 +70,13 @@ def blocking_key_column(kind: str) -> Column:
         )
     if kind == "token_sorted":
         return F.when(F.col("sorted_full") == "", "UNKNOWN").otherwise(F.col("sorted_full"))
+    if kind == "metaphone":
+        from name_matching_spark.functions.phonetic import metaphone_key
+
+        first_char = F.upper(F.substring(F.col("first_std"), 1, 1))
+        first_char = F.when(first_char == "", "UNKNOWN").otherwise(first_char)
+        mp = metaphone_key(F.col("last_std"))
+        return F.concat_ws("|", first_char, F.when(mp == "", "0000").otherwise(mp))
     raise ValueError(f"unknown blocking pass: {kind}")
 
 

@@ -104,3 +104,47 @@ def test_soundex_equal(spark):
     rows = df.select("a", "b", soundex_equal(F.col("a"), F.col("b")).alias("s")).collect()
     for r in rows:
         assert r["s"] == soundex_similarity(r["a"], r["b"])
+
+
+def test_metaphone_golden_pairs(spark):
+    """Spelling variants of one sound collapse to one key; the DuckDB
+    rendition of the SAME rule table agrees bit-for-bit."""
+    import duckdb
+
+    from name_matching_spark.functions.phonetic import metaphone_key, metaphone_sql
+
+    pairs = [
+        ("Smith", "Smyth"), ("Knight", "Night"), ("Philip", "Filip"),
+        ("Catherine", "Kathryn"), ("Wright", "Rite"), ("O'Brien", "Obrien"),
+        ("Jackson", "Jaxon"),
+    ]
+    names = sorted({n for p in pairs for n in p} | {"", "   ", "123", "Ng"})
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r["name"]: r["mp"]
+        for r in df.select("name", metaphone_key(F.col("name")).alias("mp")).collect()
+    }
+    for a, b in pairs:
+        assert got[a] == got[b] != "", (a, b, got[a], got[b])
+    assert got[""] == got["   "] == got["123"] == ""
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(name VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(n,) for n in names])
+    oracle = dict(con.execute(f"SELECT name, {metaphone_sql('name')} FROM t").fetchall())
+    assert oracle == got
+
+
+def test_metaphone_blocking_pass(spark):
+    """The 'metaphone' blocking kind groups sound-alike surnames into one
+    block and falls back to UNKNOWN|0000 on empty names."""
+    from name_matching_spark.operators.blocking import add_blocking_key
+
+    df = spark.createDataFrame(
+        [("a", "juan", "smith", "juan smith"), ("b", "juan", "smyth", "juan smyth"),
+         ("c", "", "", "")],
+        ["record_id", "first_std", "last_std", "sorted_full"],
+    )
+    rows = {r["record_id"]: r["block_key"] for r in add_blocking_key(df, "metaphone").collect()}
+    assert rows["a"] == rows["b"] == "J|SM0"
+    assert rows["c"] == "UNKNOWN|0000"
