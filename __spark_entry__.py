@@ -1039,6 +1039,20 @@ def q54_metaphone_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q55_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM corpus-hygiene rule):
+    training docs sharing any word 13-gram with the eval split
+    (doc_id % 20 == 0) are flagged. The eval n-gram set is one distinct
+    aggregate broadcast to the corpus scan — map-side probe, no corpus
+    shuffle before the per-doc rollup."""
+    from name_matching_spark.operators.text_analysis import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    holdout = docs.filter(F.col("doc_id") % 20 == 0)
+    return ngram_decontaminate(train, holdout, n=13)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1100,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_funnel": q52_funnel,
         "q53_survivorship": q53_survivorship,
         "q54_metaphone_keys": q54_metaphone_keys,
+        "q55_decontaminate": q55_decontaminate,
     }
 
 
@@ -1773,6 +1788,45 @@ def oracle_sql() -> dict[str, str]:
             lasts AS (SELECT {_ORACLE_LAST} AS last_std FROM person)
             SELECT {_sdx_sql("last_std")} AS sdx_last, count(*) AS n_records
             FROM lasts GROUP BY 1
+        """,
+        "q55_decontaminate": """
+            WITH norm AS (
+                SELECT doc_id,
+                       string_split(
+                           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                           ' ') AS w
+                FROM documents
+            ),
+            tg AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(w, i, i + 12), ' ') AS gram
+                FROM norm, LATERAL unnest(range(1, len(w) - 11)) AS t(i)
+                WHERE doc_id % 20 <> 0 AND len(w) >= 13
+            ),
+            eg AS (
+                SELECT DISTINCT
+                       array_to_string(list_slice(w, i, i + 12), ' ') AS gram
+                FROM norm, LATERAL unnest(range(1, len(w) - 11)) AS t(i)
+                WHERE doc_id % 20 = 0 AND len(w) >= 13
+            ),
+            agg AS (
+                SELECT tg.doc_id,
+                       count(*) AS n_grams,
+                       CAST(sum(CASE WHEN eg.gram IS NULL THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_contaminated
+                FROM tg LEFT JOIN eg ON tg.gram = eg.gram
+                GROUP BY tg.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_grams, 0) AS n_grams,
+                   coalesce(a.n_contaminated, 0) AS n_contaminated,
+                   CASE WHEN coalesce(a.n_contaminated, 0) > 0 THEN 1 ELSE 0
+                        END AS contaminated,
+                   CASE WHEN coalesce(a.n_grams, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE CAST(a.n_contaminated AS DOUBLE) /
+                             CAST(a.n_grams AS DOUBLE) END AS contamination_frac
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            WHERE d.doc_id % 20 <> 0
         """,
         "q54_metaphone_keys": _PERSON_CTE + f""",
             base AS (SELECT record_id, first_name, {_ORACLE_LAST} AS last_std

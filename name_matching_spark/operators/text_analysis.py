@@ -26,6 +26,8 @@ __all__ = [
     "language_id",
     "fingerprint",
     "bm25_scores",
+    "word_ngram_array",
+    "ngram_decontaminate",
     "LANG_MARKERS",
 ]
 
@@ -244,4 +246,72 @@ def bm25_scores(
             F.sum("term_score").alias("bm25"),
             F.count("*").alias("n_matched_terms"),
         )
+    )
+
+
+def word_ngram_array(text_col: str, n: int):
+    """All word ``n``-grams of the whitespace/case-normalized text as ONE
+    array column — a single ``regexp_extract_all`` pass with a lookahead
+    capture at every word start (the word-level twin of
+    ``dedup._shingle_array``; same rationale: the sequence+transform form
+    re-evaluates the normalized string per position, O(len^2)). Documents
+    with fewer than ``n`` words emit an empty array: they cannot carry an
+    ``n``-gram. Java-regex only (lookahead); the DuckDB oracle uses the
+    list-slice form over ``string_split``."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    norm = f"regexp_replace(trim(lower({text_col})), '\\\\s+', ' ')"
+    return F.expr(
+        f"regexp_extract_all({norm}, "
+        f"'(?=((?:\\\\S+ ){{{n - 1}}}\\\\S+))\\\\S+ ?', 1)"
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``n``-gram with an evaluation set (the published corpus-hygiene rule —
+    GPT-3 appendix C / PaLM-style 13-gram overlap).
+
+    Emits one row per training document: distinct n-gram count, number of
+    those n-grams also present anywhere in the eval set, a 0/1
+    ``contaminated`` flag, and the contaminated fraction.
+
+    Scale shape (100 TB corpus, benchmark eval sets are tiny): the eval
+    n-gram set is ONE distinct-aggregate then **broadcast** — the
+    train-side probe is map-side, no shuffle of the corpus postings; the
+    only corpus-wide shuffle is the final groupBy(doc). Set
+    ``broadcast_eval=False`` when the eval side is itself huge (falls back
+    to a shuffle hash join on the gram key).
+    """
+    grams = F.array_distinct(word_ngram_array(text_col, n))
+    tg = train.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+    eg = (
+        eval_df.select(F.explode(grams).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    joined = tg.join(eg, "gram", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+    )
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_contaminated",
+        (F.col("n_contaminated") > 0).cast("int").alias("contaminated"),
+        F.when(F.col("n_grams") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double")
+        )
+        .alias("contamination_frac"),
     )

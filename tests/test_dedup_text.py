@@ -429,3 +429,31 @@ def test_stratified_split_deterministic_and_proportional(spark):
     assert c != a and set(c.values()) == {"train", "val", "test"}
     with pytest.raises(ValueError):
         stratified_split(df, {"a": 0.5, "b": 0.4}, "id")
+
+
+def test_ngram_decontaminate(spark):
+    from name_matching_spark.operators.text_analysis import ngram_decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z w q r"), (3, "too short")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, "c d e f g h")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ngram_decontaminate(train, ev, n=4).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_contaminated"] == 1
+    assert out[1]["contaminated"] == 1
+    assert abs(out[1]["contamination_frac"] - 1 / 3) < 1e-12
+    assert out[2]["contaminated"] == 0 and out[2]["n_grams"] == 3
+    # < n words: present with zero grams, not dropped
+    assert out[3]["n_grams"] == 0 and out[3]["contamination_frac"] == 0.0
+
+
+def test_ngram_decontaminate_broadcasts_eval(spark):
+    """Scale shape: the eval n-gram probe must be a broadcast join (no
+    corpus-wide shuffle on the gram key)."""
+    from name_matching_spark.operators.text_analysis import ngram_decontaminate
+
+    train = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(2, "a b c d")], ["doc_id", "text"])
+    plan = ngram_decontaminate(train, ev, n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan and "Broadcast" in plan
