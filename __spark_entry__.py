@@ -1053,6 +1053,17 @@ def q55_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(train, holdout, n=13)
 
 
+def q56_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: top-word
+    fraction, duplicate-bigram fraction, top-bigram fraction — the
+    boilerplate/degenerate-text filters of an LLM corpus pipeline. All
+    shuffles keyed by doc_id."""
+    from name_matching_spark.operators.text_analysis import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_signals(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1115,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_survivorship": q53_survivorship,
         "q54_metaphone_keys": q54_metaphone_keys,
         "q55_decontaminate": q55_decontaminate,
+        "q56_repetition_quality": q56_repetition_quality,
     }
 
 
@@ -1827,6 +1839,60 @@ def oracle_sql() -> dict[str, str]:
                              CAST(a.n_grams AS DOUBLE) END AS contamination_frac
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 20 <> 0
+        """,
+        "q56_repetition_quality": """
+            WITH toks AS (
+                SELECT doc_id, t.w
+                FROM documents,
+                     LATERAL unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                         AS t(w)
+                WHERE t.w <> ''
+            ),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+            wagg AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                       max(c) AS top_word_n
+                FROM wc GROUP BY 1
+            ),
+            norm AS (
+                SELECT doc_id,
+                       string_split(
+                           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                           ' ') AS w
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(w, i, i + 1), ' ') AS g
+                FROM norm, LATERAL unnest(range(1, len(w))) AS t(i)
+                WHERE len(w) >= 2 AND w[1] <> ''
+            ),
+            bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+            bagg AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                       count(*) AS n_distinct_bigrams, max(c) AS top_bigram_n
+                FROM bgc GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(wagg.n_words, 0) AS n_words,
+                   CASE WHEN coalesce(wagg.n_words, 0) = 0
+                        THEN CAST(0.0 AS DOUBLE)
+                        ELSE CAST(wagg.top_word_n AS DOUBLE) /
+                             CAST(wagg.n_words AS DOUBLE) END AS top_word_frac,
+                   CASE WHEN coalesce(bagg.n_bigrams, 0) = 0
+                        THEN CAST(0.0 AS DOUBLE)
+                        ELSE CAST(bagg.n_bigrams - bagg.n_distinct_bigrams
+                                  AS DOUBLE) /
+                             CAST(bagg.n_bigrams AS DOUBLE)
+                        END AS dup_bigram_frac,
+                   CASE WHEN coalesce(bagg.n_bigrams, 0) = 0
+                        THEN CAST(0.0 AS DOUBLE)
+                        ELSE CAST(bagg.top_bigram_n AS DOUBLE) /
+                             CAST(bagg.n_bigrams AS DOUBLE)
+                        END AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN wagg ON d.doc_id = wagg.doc_id
+            LEFT JOIN bagg ON d.doc_id = bagg.doc_id
         """,
         "q54_metaphone_keys": _PERSON_CTE + f""",
             base AS (SELECT record_id, first_name, {_ORACLE_LAST} AS last_std

@@ -28,6 +28,7 @@ __all__ = [
     "bm25_scores",
     "word_ngram_array",
     "ngram_decontaminate",
+    "repetition_signals",
     "LANG_MARKERS",
 ]
 
@@ -314,4 +315,62 @@ def ngram_decontaminate(
             F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double")
         )
         .alias("contamination_frac"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 adapted to word units): total words, fraction held by the
+    single most frequent word, fraction of word-bigram instances that are
+    repeats, and fraction held by the most frequent bigram. High values
+    mark boilerplate/degenerate text for corpus filtering.
+
+    Shuffle shape: two explode -> groupBy(doc, unit) -> groupBy(doc)
+    chains joined back on the doc key — every shuffle is keyed by doc_id
+    (or (doc_id, unit)), so the plan scales as a per-document rollup with
+    no corpus-global state. Documents with no words / no bigrams emit 0.0
+    fractions rather than dropping out."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(norm, r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wc = toks.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    wagg = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"), F.max("c").alias("top_word_n")
+    )
+    bg = df.select(
+        F.col(id_col), F.explode(word_ngram_array(text_col, 2)).alias("g")
+    )
+    bgc = bg.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    bagg = bgc.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+    )
+
+    def _frac(num, den):
+        den = F.coalesce(den, F.lit(0))
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            F.coalesce(num, F.lit(0)).cast("double") / den.cast("double")
+        )
+
+    return (
+        df.select(id_col)
+        .join(wagg, id_col, "left")
+        .join(bagg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            _frac(F.col("top_word_n"), F.col("n_words")).alias("top_word_frac"),
+            _frac(
+                F.col("n_bigrams") - F.col("n_distinct_bigrams"),
+                F.col("n_bigrams"),
+            ).alias("dup_bigram_frac"),
+            _frac(F.col("top_bigram_n"), F.col("n_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+        )
     )

@@ -457,3 +457,20 @@ def test_ngram_decontaminate_broadcasts_eval(spark):
     ev = spark.createDataFrame([(2, "a b c d")], ["doc_id", "text"])
     plan = ngram_decontaminate(train, ev, n=2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan and "Broadcast" in plan
+
+
+def test_repetition_signals(spark):
+    from name_matching_spark.operators.text_analysis import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam eggs"), (2, "all words differ here"), (3, ""), (4, "one")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["n_words"] == 4 and abs(out[1]["top_word_frac"] - 0.75) < 1e-12
+    # bigrams of doc1: "spam spam" x2, "spam eggs" -> dup frac 1/3, top 2/3
+    assert abs(out[1]["dup_bigram_frac"] - 1 / 3) < 1e-12
+    assert abs(out[1]["top_bigram_frac"] - 2 / 3) < 1e-12
+    assert out[2]["dup_bigram_frac"] == 0.0 and out[2]["top_word_frac"] == 0.25
+    assert out[3]["n_words"] == 0 and out[3]["top_word_frac"] == 0.0
+    assert out[4]["n_words"] == 1 and out[4]["top_bigram_frac"] == 0.0
