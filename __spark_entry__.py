@@ -1064,6 +1064,66 @@ def q56_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs)
 
 
+def q57_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy scrub over the corpus: redact emails / IPv4s / phone-shaped
+    numbers and count removals per category. The PII is synthesized
+    deterministically from doc_id (the raw corpus is PII-free word salad)
+    so the redaction exercises every pattern; the scrubbed text is emitted
+    as an md5 so the gate value-hashes the exact replacement positions.
+    Map-only plan — no shuffle, no UDF."""
+    from name_matching_spark.operators.text_analysis import pii_scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 0917-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = pii_scrub(seeded)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("scrubbed")).alias("scrubbed_md5"),
+    )
+
+
+def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: banded MinHash LSH candidates -> exact
+    shingle-Jaccard rerank (the q45 pipeline) -> large-star/small-star
+    connected components -> canonical keeper (min doc_id per cluster).
+    The full production shape a 100 TB dedup run executes: every stage is
+    candidate-linear, and the clustering shuffles only the (tiny) edge
+    list. ``is_kept`` marks the survivor each cluster retains."""
+    from name_matching_spark.operators.clustering import assign_clusters
+    from name_matching_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_jaccard_rerank,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_len=5)
+    pairs = shingle_jaccard_rerank(docs, cand, threshold=0.5, shingle_len=5)
+    comp = assign_clusters(
+        docs.select(F.col("doc_id").alias("record_id")),
+        pairs.select("id1", "id2"),
+    ).select(F.col("record_id").alias("doc_id"), "cluster_id")
+    members = comp.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return comp.join(members, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_members",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_kept"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1127,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_metaphone_keys": q54_metaphone_keys,
         "q55_decontaminate": q55_decontaminate,
         "q56_repetition_quality": q56_repetition_quality,
+        "q57_pii_scrub": q57_pii_scrub,
+        "q58_dedup_clusters": q58_dedup_clusters,
     }
 
 
@@ -1443,6 +1505,31 @@ def _q25_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from name_matching_spark.functions.phonetic import metaphone_sql as _metaphone_sql
 
+    # Shared by q45 (pair emission) and q58 (transitive clustering over the
+    # same pairs): banded MinHash candidates -> exact shingle-Jaccard rerank.
+    _lsh_rerank_ctes = _minhash_oracle_cte(16) + """,
+            band AS (SELECT doc_id, CAST(h // 4 AS INT) AS band,
+                            string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS band_sig
+                     FROM mh GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                     FROM band a
+                     JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig
+                                AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+            inter AS (SELECT c.id1, c.id2, count(*) AS n
+                      FROM cand c
+                      JOIN sh s1 ON s1.doc_id = c.id1
+                      JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+                      GROUP BY 1, 2),
+            j AS (SELECT c.id1, c.id2,
+                         COALESCE(i.n, 0) AS intersection,
+                         z1.set_size AS size1, z2.set_size AS size2
+                  FROM cand c
+                  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+                  JOIN sizes z1 ON z1.doc_id = c.id1
+                  JOIN sizes z2 ON z2.doc_id = c.id2)
+    """
+
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1564,32 +1651,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q45_lsh_jaccard_rerank": "WITH "
-        + _minhash_oracle_cte(16)
-        + """,
-            band AS (SELECT doc_id, CAST(h // 4 AS INT) AS band,
-                            string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS band_sig
-                     FROM mh GROUP BY 1, 2),
-            cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                     FROM band a
-                     JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig
-                                AND a.doc_id < b.doc_id),
-            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
-            inter AS (SELECT c.id1, c.id2, count(*) AS n
-                      FROM cand c
-                      JOIN sh s1 ON s1.doc_id = c.id1
-                      JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
-                      GROUP BY 1, 2),
-            j AS (SELECT c.id1, c.id2,
-                         COALESCE(i.n, 0) AS intersection,
-                         z1.set_size AS size1, z2.set_size AS size2
-                  FROM cand c
-                  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
-                  JOIN sizes z1 ON z1.doc_id = c.id1
-                  JOIN sizes z2 ON z2.doc_id = c.id2)
+        + _lsh_rerank_ctes
+        + """
             SELECT id1, id2, intersection, size1, size2,
                    round(CAST(intersection AS DOUBLE) / (size1 + size2 - intersection), 6) AS jaccard
             FROM j
             WHERE CAST(intersection AS DOUBLE) / (size1 + size2 - intersection) >= 0.5
+        """,
+        "q58_dedup_clusters": "WITH RECURSIVE "
+        + _lsh_rerank_ctes
+        + """,
+            pairs AS (SELECT id1, id2 FROM j
+                      WHERE CAST(intersection AS DOUBLE) /
+                            (size1 + size2 - intersection) >= 0.5),
+            edges2 AS (SELECT id1 AS a, id2 AS b FROM pairs
+                       UNION SELECT id2, id1 FROM pairs),
+            lbl(node, root) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.b, l.root FROM lbl l JOIN edges2 e ON l.node = e.a
+            ),
+            comp AS (SELECT node AS doc_id, min(root) AS cluster_id
+                     FROM lbl GROUP BY 1),
+            members AS (SELECT cluster_id, count(*) AS n_members
+                        FROM comp GROUP BY 1)
+            SELECT c.doc_id, c.cluster_id, m.n_members,
+                   CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS is_kept
+            FROM comp c JOIN members m ON c.cluster_id = m.cluster_id
         """,
         "q52_funnel": """
             WITH sgn AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
@@ -1839,6 +1927,44 @@ def oracle_sql() -> dict[str, str]:
                              CAST(a.n_grams AS DOUBLE) END AS contamination_frac
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             WHERE d.doc_id % 20 <> 0
+        """,
+        "q57_pii_scrub": """
+            WITH seeded AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                       '@example.com tel 0917-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                       ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                       CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+                FROM documents
+            ),
+            s1 AS (SELECT doc_id, t,
+                          len(regexp_extract_all(t,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                              AS n_email,
+                          regexp_replace(t,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS t1
+                   FROM seeded),
+            s2 AS (SELECT doc_id, n_email,
+                          len(regexp_extract_all(t1,
+                              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                              AS n_ipv4,
+                          regexp_replace(t1,
+                              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                              '<IP>', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_ipv4,
+                          len(regexp_extract_all(t2, '\\b\\d{4}-\\d{4}\\b'))
+                              AS n_phone,
+                          regexp_replace(t2, '\\b\\d{4}-\\d{4}\\b', '<PHONE>',
+                                         'g') AS t3
+                   FROM s2)
+            SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+                   CAST(n_phone AS BIGINT) AS n_phone,
+                   md5(t3) AS scrubbed_md5
+            FROM s3
         """,
         "q56_repetition_quality": """
             WITH toks AS (

@@ -29,6 +29,8 @@ __all__ = [
     "word_ngram_array",
     "ngram_decontaminate",
     "repetition_signals",
+    "pii_scrub",
+    "PII_PATTERNS",
     "LANG_MARKERS",
 ]
 
@@ -374,3 +376,34 @@ def repetition_signals(
             ),
         )
     )
+
+
+# PII patterns shared by the engine and the oracle: ASCII-only classes, no
+# lookaround, no backrefs — identical semantics under Java regex and RE2.
+# Ordered: emails first (an address contains dot-runs an IP pattern could
+# otherwise nibble at).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{4}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-shaped numbers from a corpus
+    (the privacy-scrub pass of a training-data pipeline) and count what was
+    removed per category. Pure ``regexp_replace`` / ``regexp_extract_all``
+    column expressions inside whole-stage codegen — map-only, no shuffle,
+    no UDF; at 100 TB this is a streaming-friendly projection."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))

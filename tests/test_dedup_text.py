@@ -474,3 +474,35 @@ def test_repetition_signals(spark):
     assert out[2]["dup_bigram_frac"] == 0.0 and out[2]["top_word_frac"] == 0.25
     assert out[3]["n_words"] == 0 and out[3]["top_word_frac"] == 0.0
     assert out[4]["n_words"] == 1 and out[4]["top_bigram_frac"] == 0.0
+
+
+def test_pii_scrub(spark):
+    from name_matching_spark.operators.text_analysis import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co now 10.20.30.40 and 1234-5678 end"),
+            (2, "clean text with no identifiers"),
+            (3, "two mails a@b.io c@d.org, ip 999.1.1.1 still shape-matches"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[1]["scrubbed"] == "mail <EMAIL> now <IP> and <PHONE> end"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["scrubbed"] == "clean text with no identifiers"
+    assert out[3]["n_email"] == 2 and out[3]["n_ipv4"] == 1
+
+
+def test_dedup_cluster_invariants(spark):
+    """q58 end-to-end: cluster ids are member minima, every doc appears
+    exactly once, and exactly one survivor per cluster."""
+    import __spark_entry__ as e
+
+    out = e.q58_dedup_clusters(spark, "/root/testdata/sf0.001").toPandas()
+    assert out["doc_id"].is_unique
+    g = out.groupby("cluster_id")
+    assert (g["doc_id"].min() == g["cluster_id"].first()).all()
+    assert (g["is_kept"].sum() == 1).all()
+    assert (g.size().values == out.groupby("cluster_id")["n_members"].first().values).all()
