@@ -34,6 +34,8 @@ HEADLINE = [
     "q28_lsh_near_dupes",
     "q42_minhash_lsh",
     "q45_lsh_jaccard_rerank",
+    "q55_decontaminate",
+    "q58_dedup_clusters",
 ]
 
 

@@ -201,3 +201,32 @@ def test_dict_encoded_scoring_is_value_exact(spark):
 
     with _pytest.raises(ValueError):
         dedup_table(df, SCHEMA, dict_encode=True, dict_max_classes=4)
+
+
+def test_dedup_with_metaphone_pass(spark):
+    """The metaphone blocking pass plugs into the full linkage plan and
+    recalls a same-sound/different-spelling pair soundex also blocks on;
+    union-of-passes stays pair-unique."""
+    from name_matching_spark.operators.blocking import BlockingConfig
+    from name_matching_spark.operators.normalize import LinkageSchema
+    from name_matching_spark.operators.score_pairs import MatcherConfig
+    from name_matching_spark.plans.linkage import dedup_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "Juan", "Smith"),
+            (2, "Juan", "Smyth"),
+            (3, "Maria", "Torres"),
+        ],
+        ["record_id", "first_name", "middle_name_last_name"],
+    )
+    out = dedup_table(
+        df,
+        LinkageSchema(id_col="record_id", birthdate=None, geo_fields=[]),
+        blocking=BlockingConfig(passes=["phonetic", "metaphone"]),
+        matcher=MatcherConfig(use_birthdate=False, geo_fields=[]),
+        keep_non_match=True,
+    ).toPandas()
+    pairs = set(zip(out["id1"], out["id2"]))
+    assert (1, 2) in pairs
+    assert len(pairs) == len(out)  # no duplicate pairs across passes
