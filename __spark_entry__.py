@@ -116,6 +116,76 @@ _ORACLE_MIDDLE = (
     "ELSE 'bautista' END"
 )
 
+# token-sorted standardized full name (the Spark norm frame's ``sorted_full``)
+# rendered in DuckDB — list_sort/array_sort parity proven by q13, full_std
+# parity by q16
+_SORTED_FULL_SQL = (
+    "array_to_string(list_sort(string_split("
+    f"trim(lower(first_name) || ' ' || trim({_ORACLE_MIDDLE} || ' ' || {_ORACLE_LAST}))"
+    ", ' ')), ' ')"
+)
+
+# Fellegi-Sunter log2 likelihood-ratio weights from exact integer ppm —
+# INTEGER greatest(x, 1) clamps quantized-to-zero probabilities before the
+# division (mirrors operators.probabilistic.estimate_mu_weights)
+_FS_WA_SQL = (
+    "log2(CAST(greatest(m_ppm, 1) AS DOUBLE) / CAST(greatest(u_ppm, 1) AS DOUBLE))"
+)
+_FS_WD_SQL = (
+    "log2(CAST(greatest(1000000 - m_ppm, 1) AS DOUBLE)"
+    " / CAST(greatest(1000000 - u_ppm, 1) AS DOUBLE))"
+)
+
+
+def _fs_oracle_ctes() -> str:
+    """Shared q60/q61 CTE chain: phonetic-blocked pairs + agreement vector +
+    the proxy label (sorted_full equality) + m/u counts as exact integer ppm
+    — mirrors ``operators.probabilistic.estimate_mu_weights``. Sums are cast
+    to BIGINT (DuckDB sums integers into HUGEINT; Spark emits LongType)."""
+    return _PERSON_CTE + f""",
+        named AS (SELECT record_id,
+                         lower(first_name) AS first_std,
+                         {_ORACLE_LAST} AS last_std,
+                         substr(birthdate, 1, 4) AS birth_year,
+                         {_SORTED_FULL_SQL} AS sorted_full,
+                         upper(substr(first_name, 1, 1)) || '|' ||
+                             {_sdx_sql(_ORACLE_LAST)} AS block_key
+                  FROM person),
+        fs_pairs AS (SELECT a.record_id AS id1, b.record_id AS id2,
+                            a.first_std = b.first_std AS agree_first,
+                            a.last_std = b.last_std AS agree_last,
+                            a.birth_year = b.birth_year AS agree_birth_year,
+                            a.sorted_full = b.sorted_full AS is_match
+                     FROM named a
+                     JOIN named b ON a.block_key = b.block_key
+                                 AND a.record_id < b.record_id),
+        counts AS (SELECT
+            sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_match,
+            sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS n_nonmatch,
+            sum(CASE WHEN is_match AND agree_first THEN 1 ELSE 0 END) AS m_first,
+            sum(CASE WHEN NOT is_match AND agree_first THEN 1 ELSE 0 END) AS u_first,
+            sum(CASE WHEN is_match AND agree_last THEN 1 ELSE 0 END) AS m_last,
+            sum(CASE WHEN NOT is_match AND agree_last THEN 1 ELSE 0 END) AS u_last,
+            sum(CASE WHEN is_match AND agree_birth_year THEN 1 ELSE 0 END) AS m_by,
+            sum(CASE WHEN NOT is_match AND agree_birth_year THEN 1 ELSE 0 END) AS u_by
+            FROM fs_pairs),
+        wlong AS (
+            SELECT 'agree_first' AS field, n_match, n_nonmatch,
+                   m_first AS agree_m, u_first AS agree_u FROM counts
+            UNION ALL
+            SELECT 'agree_last', n_match, n_nonmatch, m_last, u_last FROM counts
+            UNION ALL
+            SELECT 'agree_birth_year', n_match, n_nonmatch, m_by, u_by FROM counts),
+        wppm AS (SELECT field,
+                        CAST(n_match AS BIGINT) AS n_match,
+                        CAST(n_nonmatch AS BIGINT) AS n_nonmatch,
+                        CAST(agree_m AS BIGINT) AS agree_m,
+                        CAST(agree_u AS BIGINT) AS agree_u,
+                        CAST((agree_m + 1) * 1000000 // (n_match + 2) AS BIGINT) AS m_ppm,
+                        CAST((agree_u + 1) * 1000000 // (n_nonmatch + 2) AS BIGINT) AS u_ppm
+                 FROM wlong)
+    """
+
 
 # ---------------------------------------------------------------------------
 # Query implementations (Spark side)
@@ -1124,6 +1194,102 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (merge/purge): global rank over the
+    token-sorted name key WITHOUT a single-partition sort (range repartition
+    + per-partition ranks + tiny offset census), then all pairs within a
+    4-row sliding window. Complements equality blocking: a typo that changes
+    a blocking key entirely only shifts the record a few sort positions."""
+    from name_matching_spark.operators.blocking import sorted_neighborhood_pairs
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    pairs = sorted_neighborhood_pairs(norm, "sorted_full", window=4)
+    return pairs.select("id1", "id2", "key1", "key2", "rank_dist")
+
+
+def _fs_labeled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by q60/q61: blocked candidate pairs with boolean agreement
+    vectors + a deterministic proxy label (token-sorted full names equal)."""
+    from name_matching_spark.operators.blocking import blocking_key_column, candidate_pairs_self
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    keyed = norm.withColumn("block_key", blocking_key_column("phonetic"))
+    pairs = candidate_pairs_self(
+        keyed, ["first_std", "last_std", "birthdate_std", "sorted_full"]
+    )
+    return pairs.select(
+        "id1",
+        "id2",
+        (F.col("s1.first_std") == F.col("s2.first_std")).alias("agree_first"),
+        (F.col("s1.last_std") == F.col("s2.last_std")).alias("agree_last"),
+        (
+            F.substring(F.col("s1.birthdate_std"), 1, 4)
+            == F.substring(F.col("s2.birthdate_std"), 1, 4)
+        ).alias("agree_birth_year"),
+        F.when(
+            F.col("s1.sorted_full") == F.col("s2.sorted_full"), "match"
+        ).otherwise("non-match").alias("true_label"),
+    )
+
+
+_FS_FIELDS = ["agree_first", "agree_last", "agree_birth_year"]
+
+
+def q60_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter m/u estimation over blocked labeled pairs: one scan,
+    every field's agreement counts in a single aggregation, probabilities as
+    engine-exact integer ppm, log2 likelihood-ratio weights derived from
+    those exact integers."""
+    from name_matching_spark.operators.probabilistic import estimate_mu_weights
+
+    lab = _fs_labeled_pairs(spark, sf_dir)
+    return estimate_mu_weights(lab, _FS_FIELDS)
+
+
+def q61_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair Fellegi-Sunter total log2 weight: the (3-row) weight table
+    is collected and inlined as a fixed-order column expression — no join,
+    no shuffle beyond the pair generation itself."""
+    from name_matching_spark.operators.probabilistic import (
+        estimate_mu_weights,
+        fs_score_pairs,
+    )
+
+    lab = _fs_labeled_pairs(spark, sf_dir)
+    weights = estimate_mu_weights(lab, _FS_FIELDS)
+    scored = fs_score_pairs(lab, weights, _FS_FIELDS)
+    return scored.select("id1", "id2", "fs_weight", "fs_match")
+
+
+def q62_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BCubed precision/recall/F1 of the end-to-end near-dup clustering
+    (q58's LSH -> rerank -> connected components) against exact-content
+    classes — cluster-quality evaluation as one cell-count aggregation
+    (sum n_ct^2/n_c), no per-record state."""
+    from name_matching_spark.operators.clustering import assign_clusters
+    from name_matching_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_jaccard_rerank,
+    )
+    from name_matching_spark.operators.evaluation import bcubed_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_len=5)
+    pairs = shingle_jaccard_rerank(docs, cand, threshold=0.5, shingle_len=5)
+    comp = assign_clusters(
+        docs.select(F.col("doc_id").alias("record_id")),
+        pairs.select("id1", "id2"),
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("record_id"), F.md5(F.col("text")).alias("class_id")
+    )
+    return bcubed_metrics(comp, truth)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1189,6 +1355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_repetition_quality": q56_repetition_quality,
         "q57_pii_scrub": q57_pii_scrub,
         "q58_dedup_clusters": q58_dedup_clusters,
+        "q59_sorted_neighborhood": q59_sorted_neighborhood,
+        "q60_fs_weights": q60_fs_weights,
+        "q61_fs_scores": q61_fs_scores,
+        "q62_bcubed": q62_bcubed,
     }
 
 
@@ -2328,5 +2498,77 @@ def oracle_sql() -> dict[str, str]:
                    THEN trim(substr(decorated, 1, length(decorated) - 1))
                    ELSE decorated END AS no_suffix
             FROM d
+        """,
+        "q59_sorted_neighborhood": _PERSON_CTE + f""",
+            keyed AS (SELECT record_id, {_SORTED_FULL_SQL} AS snm_key FROM person),
+            ranked AS (SELECT record_id, snm_key,
+                              row_number() OVER (ORDER BY snm_key, record_id) AS rnk
+                       FROM keyed)
+            SELECT a.record_id AS id1, b.record_id AS id2,
+                   a.snm_key AS key1, b.snm_key AS key2,
+                   CAST(b.rnk - a.rnk AS BIGINT) AS rank_dist
+            FROM ranked a
+            JOIN ranked b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4
+        """,
+        "q60_fs_weights": _fs_oracle_ctes() + f"""
+            SELECT field, n_match, n_nonmatch, agree_m, agree_u, m_ppm, u_ppm,
+                   {_FS_WA_SQL} AS agree_weight,
+                   {_FS_WD_SQL} AS disagree_weight
+            FROM wppm
+        """,
+        "q61_fs_scores": _fs_oracle_ctes() + f""",
+            w AS (SELECT
+                max(CASE WHEN field = 'agree_first' THEN {_FS_WA_SQL} END) AS wa_first,
+                max(CASE WHEN field = 'agree_first' THEN {_FS_WD_SQL} END) AS wd_first,
+                max(CASE WHEN field = 'agree_last' THEN {_FS_WA_SQL} END) AS wa_last,
+                max(CASE WHEN field = 'agree_last' THEN {_FS_WD_SQL} END) AS wd_last,
+                max(CASE WHEN field = 'agree_birth_year' THEN {_FS_WA_SQL} END) AS wa_by,
+                max(CASE WHEN field = 'agree_birth_year' THEN {_FS_WD_SQL} END) AS wd_by
+                FROM wppm)
+            SELECT p.id1, p.id2,
+                   (CASE WHEN p.agree_first THEN w.wa_first ELSE w.wd_first END)
+                 + (CASE WHEN p.agree_last THEN w.wa_last ELSE w.wd_last END)
+                 + (CASE WHEN p.agree_birth_year THEN w.wa_by ELSE w.wd_by END)
+                       AS fs_weight,
+                   CASE WHEN (CASE WHEN p.agree_first THEN w.wa_first ELSE w.wd_first END)
+                           + (CASE WHEN p.agree_last THEN w.wa_last ELSE w.wd_last END)
+                           + (CASE WHEN p.agree_birth_year THEN w.wa_by ELSE w.wd_by END)
+                             > 0 THEN 1 ELSE 0 END AS fs_match
+            FROM fs_pairs p CROSS JOIN w
+        """,
+        "q62_bcubed": "WITH RECURSIVE "
+        + _lsh_rerank_ctes
+        + """,
+            pairs AS (SELECT id1, id2 FROM j
+                      WHERE CAST(intersection AS DOUBLE) /
+                            (size1 + size2 - intersection) >= 0.5),
+            edges2 AS (SELECT id1 AS a, id2 AS b FROM pairs
+                       UNION SELECT id2, id1 FROM pairs),
+            lbl(node, root) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.b, l.root FROM lbl l JOIN edges2 e ON l.node = e.a
+            ),
+            comp AS (SELECT node AS doc_id, min(root) AS cluster_id
+                     FROM lbl GROUP BY 1),
+            truth AS (SELECT doc_id, md5(text) AS class_id FROM documents),
+            both2 AS (SELECT c.doc_id, c.cluster_id, t.class_id
+                      FROM comp c JOIN truth t USING (doc_id)),
+            cells AS (SELECT cluster_id, class_id, count(*) AS n_ct
+                      FROM both2 GROUP BY 1, 2),
+            cs AS (SELECT cluster_id, count(*) AS n_c FROM both2 GROUP BY 1),
+            tsz AS (SELECT class_id, count(*) AS n_t FROM both2 GROUP BY 1),
+            agg AS (SELECT CAST(sum(n_ct) AS BIGINT) AS n_records,
+                           sum(CAST(n_ct AS DOUBLE) * n_ct / n_c) AS p_sum,
+                           sum(CAST(n_ct AS DOUBLE) * n_ct / n_t) AS r_sum
+                    FROM cells
+                    JOIN cs USING (cluster_id)
+                    JOIN tsz USING (class_id))
+            SELECT n_records,
+                   p_sum / n_records AS bcubed_precision,
+                   r_sum / n_records AS bcubed_recall,
+                   2 * (p_sum / n_records) * (r_sum / n_records)
+                     / ((p_sum / n_records) + (r_sum / n_records)) AS bcubed_f1
+            FROM agg
         """,
     }

@@ -32,6 +32,8 @@ __all__ = [
     "blocking_stats",
     "candidate_pairs_self",
     "candidate_pairs_cross",
+    "global_sort_rank",
+    "sorted_neighborhood_pairs",
 ]
 
 
@@ -190,6 +192,123 @@ def candidate_pairs_self(
         F.when(swap, F.col("r.payload")).otherwise(F.col("l.payload")).alias("s1"),
         F.when(swap, F.col("l.payload")).otherwise(F.col("r.payload")).alias("s2"),
     )
+
+
+def global_sort_rank(
+    df: DataFrame,
+    sort_col: str,
+    id_col: str = "record_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based rank over the total order ``(sort_col, id_col)``
+    WITHOUT a single-partition window.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` collapses the whole table
+    into one task — the classic scale killer. Instead: range-repartition on
+    the sort key (each partition holds a contiguous key range), rank within
+    each partition in parallel, then add per-partition offsets computed from
+    a census that is exactly ``num_partitions`` rows — the only driver-side
+    data is that tiny census.
+
+    The ranked frame is ``localCheckpoint``-ed first: range-boundary
+    sampling inside the exchange is job-dependent, so the census job and
+    downstream consumers must observe the SAME physical partitioning.
+    Checkpointing one narrow record frame is O(records) — never applied to
+    pair frames.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    from pyspark.sql.window import Window
+
+    d = (
+        df.repartitionByRange(n_part, F.col(sort_col), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local_rank",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(sort_col, id_col)
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        rank = (off_map[F.col("_pid")] + F.col("_local_rank")).cast("bigint")
+    else:
+        rank = F.col("_local_rank").cast("bigint")
+    return d.withColumn("rank", rank).drop("_pid", "_local_rank")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_col: str,
+    window: int,
+    payload_cols: list[str] | None = None,
+    id_col: str = "record_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo's merge/purge): sort
+    records by a fuzzy key, slide a window of ``window`` rows, pair every
+    two records that co-occur in some window — i.e. all pairs with global
+    rank distance ``1 .. window-1``.
+
+    Complements equality blocking (``candidate_pairs_self``): a typo in the
+    blocking key's first character moves a record to a *nearby* sort
+    position rather than a different block, so SNM still pairs it.
+
+    Distributed shape: :func:`global_sort_rank` (no single-partition sort),
+    then buckets of ``window`` consecutive ranks; each row probes its own
+    bucket and the next one, and an equi-join on bucket id + a rank-distance
+    filter yields each neighbor pair exactly once. Pairs/bucket ~= w^2 —
+    no skew possible regardless of key distribution (the advantage of SNM
+    over equality blocking on hot keys).
+
+    Output: ``id1, id2, key1, key2, rank_dist`` (+ ``s1``/``s2`` payload
+    structs when ``payload_cols``), oriented by sort order (rank1 < rank2).
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    ranked = global_sort_rank(df, sort_col, id_col, num_partitions)
+    cols = [
+        F.col(id_col).alias("rid"),
+        F.col(sort_col).alias("key"),
+        F.col("rank"),
+        F.expr(f"CAST((rank - 1) DIV {int(window)} AS BIGINT)").alias("_bkt"),
+    ]
+    if payload_cols:
+        cols.append(F.struct(*[F.col(c) for c in payload_cols]).alias("payload"))
+    slim = ranked.select(*cols)
+    left = slim.withColumn(
+        "_tgt", F.explode(F.array(F.col("_bkt"), F.col("_bkt") + 1))
+    )
+    joined = left.alias("l").join(
+        slim.alias("r"), F.col("l._tgt") == F.col("r._bkt")
+    )
+    pairs = joined.filter(
+        (F.col("r.rank") > F.col("l.rank"))
+        & (F.col("r.rank") - F.col("l.rank") < window)
+    )
+    out = [
+        F.col("l.rid").alias("id1"),
+        F.col("r.rid").alias("id2"),
+        F.col("l.key").alias("key1"),
+        F.col("r.key").alias("key2"),
+        (F.col("r.rank") - F.col("l.rank")).cast("bigint").alias("rank_dist"),
+    ]
+    if payload_cols:
+        out += [F.col("l.payload").alias("s1"), F.col("r.payload").alias("s2")]
+    return pairs.select(*out)
 
 
 def candidate_pairs_cross(

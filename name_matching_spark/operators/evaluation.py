@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from name_matching_spark.core.scoring import DEFAULT_MATCH_THRESHOLD
 
-__all__ = ["confusion_counts", "pairwise_metrics", "threshold_sweep"]
+__all__ = ["confusion_counts", "pairwise_metrics", "threshold_sweep", "bcubed_metrics"]
 
 
 def confusion_counts(
@@ -83,6 +83,57 @@ def threshold_sweep(
                 "CAST(2 * tp * 1000000 DIV greatest(2 * tp + fp + fn, 1) AS BIGINT)"
             ).alias("f1_ppm"),
         )
+    )
+
+
+def bcubed_metrics(
+    assignment: DataFrame,
+    truth: DataFrame,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+    class_col: str = "class_id",
+) -> DataFrame:
+    """BCubed precision/recall/F1 of a clustering against ground-truth
+    classes (Bagga & Baldwin's entity-resolution cluster metric — unlike
+    pairwise P/R it is not dominated by the largest cluster).
+
+    Per-record precision is |cluster ∩ class| / |cluster|; BCubed precision
+    is its average over records. Summing per (cluster, class) cell collapses
+    the whole computation into one aggregation over cell counts:
+
+        P = (1/N) * sum_cells n_ct^2 / n_c
+        R = (1/N) * sum_cells n_ct^2 / n_t
+
+    so the plan is: join the two assignments on id (one shuffle), count
+    cells, join in cluster/class sizes (cells are <= N rows), aggregate.
+    No per-record state, no quadratic term — safe at any scale.
+
+    Output: one row (``n_records, bcubed_precision, bcubed_recall,
+    bcubed_f1`` — doubles).
+    """
+    a = assignment.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c"))
+    t = truth.select(F.col(id_col).alias("_id"), F.col(class_col).alias("_t"))
+    both = a.join(t, "_id")
+    cells = both.groupBy("_c", "_t").agg(F.count(F.lit(1)).alias("n_ct"))
+    csize = both.groupBy("_c").agg(F.count(F.lit(1)).alias("n_c"))
+    tsize = both.groupBy("_t").agg(F.count(F.lit(1)).alias("n_t"))
+    joined = cells.join(csize, "_c").join(tsize, "_t")
+    agg = joined.agg(
+        F.sum("n_ct").alias("n_records"),
+        F.sum(
+            F.col("n_ct").cast("double") * F.col("n_ct") / F.col("n_c")
+        ).alias("_p_sum"),
+        F.sum(
+            F.col("n_ct").cast("double") * F.col("n_ct") / F.col("n_t")
+        ).alias("_r_sum"),
+    )
+    p = F.col("_p_sum") / F.col("n_records")
+    r = F.col("_r_sum") / F.col("n_records")
+    return agg.select(
+        "n_records",
+        p.alias("bcubed_precision"),
+        r.alias("bcubed_recall"),
+        (2 * p * r / (p + r)).alias("bcubed_f1"),
     )
 
 

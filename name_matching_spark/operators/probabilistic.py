@@ -1,0 +1,116 @@
+"""Fellegi-Sunter probabilistic record linkage (m/u weights).
+
+The reference scores pairs with a fixed weighted ensemble
+(``src/scorer.py:24-78``); the classical alternative the record-linkage
+literature (Fellegi & Sunter 1969) and modern tools build on is
+*probabilistic*: for each comparison field estimate
+
+- ``m`` = P(field agrees | pair is a match)
+- ``u`` = P(field agrees | pair is a non-match)
+
+and score a pair by the sum of per-field log-likelihood-ratio weights:
+``log2(m/u)`` when the field agrees, ``log2((1-m)/(1-u))`` when it
+disagrees. Both stages are plain aggregations/joins — no UDFs, two
+shuffles total, trivially scale-safe.
+
+Engine-exactness: counts and the Laplace-smoothed probabilities are emitted
+as parts-per-million via pure integer arithmetic (``x * 1000000 DIV n`` —
+the q09 lesson); the log2 weights are then computed from those exact ppm
+integers, so both engines feed bit-identical doubles into log2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["estimate_mu_weights", "fs_score_pairs"]
+
+
+def estimate_mu_weights(
+    labeled_pairs: DataFrame,
+    agreement_cols: list[str],
+    label_col: str = "true_label",
+) -> DataFrame:
+    """Estimate per-field m/u probabilities from labeled candidate pairs.
+
+    ``labeled_pairs``: one row per candidate pair with boolean agreement
+    columns and ``label_col`` in {"match", "non-match"}. One aggregation
+    computes every field's agreement counts in a single scan (map-side
+    partial aggregation; the shuffle carries one partial row per task);
+    the result is unpivoted to one row per field.
+
+    Laplace(+1) smoothing keeps every weight finite:
+    ``m_ppm = (agree_m + 1) * 1e6 DIV (n_match + 2)`` (same form for u).
+
+    Output: ``field, n_match, n_nonmatch, agree_m, agree_u, m_ppm, u_ppm,
+    agree_weight, disagree_weight`` — weights are log2 likelihood ratios.
+    """
+    is_match = F.col(label_col) == "match"
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    aggs = [
+        cnt(is_match).alias("n_match"),
+        cnt(~is_match).alias("n_nonmatch"),
+    ]
+    for c in agreement_cols:
+        a = F.col(c)
+        aggs.append(cnt(is_match & a).alias(f"_m_{c}"))
+        aggs.append(cnt(~is_match & a).alias(f"_u_{c}"))
+    counts = labeled_pairs.agg(*aggs)
+
+    stack_expr = "stack({n}, {args}) AS (field, agree_m, agree_u)".format(
+        n=len(agreement_cols),
+        args=", ".join(f"'{c}', _m_{c}, _u_{c}" for c in agreement_cols),
+    )
+    long = counts.select("n_match", "n_nonmatch", F.expr(stack_expr))
+    m_ppm = F.expr("CAST((agree_m + 1) * 1000000 DIV (n_match + 2) AS BIGINT)")
+    u_ppm = F.expr("CAST((agree_u + 1) * 1000000 DIV (n_nonmatch + 2) AS BIGINT)")
+    out = long.select(
+        "field", "n_match", "n_nonmatch", "agree_m", "agree_u",
+        m_ppm.alias("m_ppm"), u_ppm.alias("u_ppm"),
+    )
+    # weights from the exact ppm integers: identical doubles in any engine.
+    # The ppm quantization can floor a probability to 0 (u < 1 ppm happens
+    # whenever a rare field agreement meets >1M non-match pairs) — clamp at
+    # 1 ppm with INTEGER greatest before the division so every weight stays
+    # finite and the clamp itself is engine-exact.
+    clamped = lambda c: F.greatest(c, F.lit(1)).cast("double")  # noqa: E731
+    return out.select(
+        "*",
+        F.log2(
+            clamped(F.col("m_ppm")) / clamped(F.col("u_ppm"))
+        ).alias("agree_weight"),
+        F.log2(
+            clamped(F.lit(1000000) - F.col("m_ppm"))
+            / clamped(F.lit(1000000) - F.col("u_ppm"))
+        ).alias("disagree_weight"),
+    )
+
+
+def fs_score_pairs(
+    pairs: DataFrame,
+    weights: DataFrame,
+    agreement_cols: list[str],
+) -> DataFrame:
+    """Total Fellegi-Sunter log2 weight per pair.
+
+    ``weights`` (one row per field, from :func:`estimate_mu_weights`) is
+    collected to the driver — it is ``len(agreement_cols)`` rows — and
+    inlined into a single fixed-order column expression, so the sum is
+    evaluated left-to-right identically in any engine and the pair frame
+    needs no extra join or shuffle.
+
+    Adds ``fs_weight`` (double) and ``fs_match`` (weight > 0).
+    """
+    w = {r["field"]: (r["agree_weight"], r["disagree_weight"]) for r in weights.collect()}
+    missing = [c for c in agreement_cols if c not in w]
+    if missing:
+        raise ValueError(f"no weights for fields: {missing}")
+    total = None
+    for c in agreement_cols:
+        wa, wd = w[c]
+        term = F.when(F.col(c), F.lit(float(wa))).otherwise(F.lit(float(wd)))
+        total = term if total is None else total + term
+    return pairs.withColumn("fs_weight", total).withColumn(
+        "fs_match", (F.col("fs_weight") > 0).cast("int")
+    )

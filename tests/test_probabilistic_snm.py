@@ -1,0 +1,191 @@
+"""Sorted-neighborhood blocking, Fellegi-Sunter weights, BCubed metrics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from name_matching_spark.operators.blocking import (
+    global_sort_rank,
+    sorted_neighborhood_pairs,
+)
+from name_matching_spark.operators.evaluation import bcubed_metrics
+from name_matching_spark.operators.probabilistic import (
+    estimate_mu_weights,
+    fs_score_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    rows = [
+        ("r1", "anderson maria"),
+        ("r2", "anderson marla"),  # typo neighbor of r1
+        ("r3", "cruz juan"),
+        ("r4", "cruz juana"),
+        ("r5", "zavala pedro"),
+        ("r6", "cruz juan"),  # exact duplicate key of r3 (tie on key)
+    ]
+    return spark.createDataFrame(rows, ["record_id", "key"])
+
+
+def test_global_sort_rank_is_total_order(spark, names):
+    got = {
+        r["record_id"]: r["rank"]
+        for r in global_sort_rank(names, "key", num_partitions=3).collect()
+    }
+    expected_order = sorted(names.collect(), key=lambda r: (r["key"], r["record_id"]))
+    for i, row in enumerate(expected_order, start=1):
+        assert got[row["record_id"]] == i
+    assert sorted(got.values()) == list(range(1, 7))
+
+
+def _brute_force_snm(rows, window):
+    order = sorted(rows, key=lambda r: (r["key"], r["record_id"]))
+    out = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + window, len(order))):
+            out.add((order[i]["record_id"], order[j]["record_id"]))
+    return out
+
+
+@pytest.mark.parametrize("window", [2, 3, 4])
+def test_snm_pairs_match_brute_force(spark, names, window):
+    got = {
+        (r["id1"], r["id2"])
+        for r in sorted_neighborhood_pairs(
+            names, "key", window=window, num_partitions=3
+        ).collect()
+    }
+    assert got == _brute_force_snm(names.collect(), window)
+
+
+def test_snm_rank_dist_bounds(spark, names):
+    dists = [
+        r["rank_dist"]
+        for r in sorted_neighborhood_pairs(names, "key", window=3).collect()
+    ]
+    assert dists and all(1 <= d <= 2 for d in dists)
+
+
+def test_snm_hot_key_stays_linear(spark):
+    """1000 identical keys: SNM generates w-1 pairs per row (not k^2/2) —
+    the skew-immunity property equality blocking lacks."""
+    df = spark.range(1000).select(
+        F.concat(F.lit("r"), F.lpad(F.col("id").cast("string"), 4, "0")).alias(
+            "record_id"
+        ),
+        F.lit("samekey").alias("key"),
+    )
+    n = sorted_neighborhood_pairs(df, "key", window=4).count()
+    assert n == 999 + 998 + 997  # rank dists 1, 2, 3
+
+
+def test_snm_window_validation(spark, names):
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(names, "key", window=1)
+
+
+def test_snm_payload_structs(spark, names):
+    out = sorted_neighborhood_pairs(
+        names.withColumn("extra", F.upper(F.col("key"))),
+        "key",
+        window=2,
+        payload_cols=["extra"],
+    )
+    row = out.orderBy("id1", "id2").first()
+    assert row["s1"]["extra"] == row["key1"].upper()
+
+
+# -- Fellegi-Sunter ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    # 4 matches (3 agree on f, 4 on l), 6 non-matches (1 agrees on f, 2 on l)
+    rows = []
+    for i in range(4):
+        rows.append((f"m{i}", i != 3, True, "match"))
+    for i in range(6):
+        rows.append((f"n{i}", i == 0, i < 2, "non-match"))
+    return spark.createDataFrame(rows, ["pair_id", "agree_f", "agree_l", "true_label"])
+
+
+def test_estimate_mu_weights_exact_counts(spark, labeled):
+    w = {r["field"]: r.asDict() for r in
+         estimate_mu_weights(labeled, ["agree_f", "agree_l"]).collect()}
+    f = w["agree_f"]
+    assert (f["n_match"], f["n_nonmatch"], f["agree_m"], f["agree_u"]) == (4, 6, 3, 1)
+    assert f["m_ppm"] == (3 + 1) * 1000000 // (4 + 2)
+    assert f["u_ppm"] == (1 + 1) * 1000000 // (6 + 2)
+    assert f["agree_weight"] == pytest.approx(
+        math.log2(f["m_ppm"] / f["u_ppm"]), rel=1e-12
+    )
+    l = w["agree_l"]
+    assert (l["agree_m"], l["agree_u"]) == (4, 2)
+    assert l["disagree_weight"] == pytest.approx(
+        math.log2(max(1000000 - l["m_ppm"], 1) / (1000000 - l["u_ppm"])), rel=1e-12
+    )
+
+
+def test_fs_score_pairs_fixed_order_sum(spark, labeled):
+    weights = estimate_mu_weights(labeled, ["agree_f", "agree_l"])
+    wmap = {r["field"]: (r["agree_weight"], r["disagree_weight"])
+            for r in weights.collect()}
+    scored = fs_score_pairs(labeled, weights, ["agree_f", "agree_l"])
+    for r in scored.collect():
+        expect = (wmap["agree_f"][0] if r["agree_f"] else wmap["agree_f"][1]) + (
+            wmap["agree_l"][0] if r["agree_l"] else wmap["agree_l"][1]
+        )
+        assert r["fs_weight"] == expect  # identical fixed-order IEEE sum
+        assert r["fs_match"] == int(expect > 0)
+
+
+def test_fs_missing_field_raises(spark, labeled):
+    weights = estimate_mu_weights(labeled, ["agree_f"])
+    with pytest.raises(ValueError, match="agree_l"):
+        fs_score_pairs(labeled, weights, ["agree_f", "agree_l"])
+
+
+# -- BCubed ------------------------------------------------------------------
+
+
+def _bcubed_frames(spark, assignment, truth):
+    a = spark.createDataFrame(
+        [(k, v) for k, v in assignment.items()], ["record_id", "cluster_id"]
+    )
+    t = spark.createDataFrame(
+        [(k, v) for k, v in truth.items()], ["record_id", "class_id"]
+    )
+    return bcubed_metrics(a, t).collect()[0]
+
+
+def test_bcubed_perfect_clustering(spark):
+    assignment = {"a": 1, "b": 1, "c": 2}
+    truth = {"a": "x", "b": "x", "c": "y"}
+    row = _bcubed_frames(spark, assignment, truth)
+    assert row["n_records"] == 3
+    assert row["bcubed_precision"] == 1.0
+    assert row["bcubed_recall"] == 1.0
+    assert row["bcubed_f1"] == 1.0
+
+
+def test_bcubed_overmerged(spark):
+    # one cluster holding two classes of sizes 2 and 2:
+    # precision per record = 2/4, recall = 1 -> P=0.5, R=1
+    assignment = {k: 1 for k in "abcd"}
+    truth = {"a": "x", "b": "x", "c": "y", "d": "y"}
+    row = _bcubed_frames(spark, assignment, truth)
+    assert row["bcubed_precision"] == pytest.approx(0.5)
+    assert row["bcubed_recall"] == 1.0
+    assert row["bcubed_f1"] == pytest.approx(2 * 0.5 / 1.5)
+
+
+def test_bcubed_oversplit_asymmetric(spark):
+    # class x of size 3 split into clusters {a,b} and {c}:
+    # P = 1; R = (2/3 + 2/3 + 1/3) / 3 = 5/9
+    assignment = {"a": 1, "b": 1, "c": 2}
+    truth = {k: "x" for k in "abc"}
+    row = _bcubed_frames(spark, assignment, truth)
+    assert row["bcubed_precision"] == 1.0
+    assert row["bcubed_recall"] == pytest.approx(5 / 9)
