@@ -137,6 +137,31 @@ _FS_WD_SQL = (
 )
 
 
+def _pq_codes_oracle() -> str:
+    """Shared q63/q64 CTE chain: the seeded PQ codebook inlined as DOUBLE
+    list literals + relational per-subspace argmin (``ORDER BY dist, c``
+    mirrors the kernel's first-min ``argmin``)."""
+    from name_matching_spark.operators.quantization import (
+        codebooks_sql_values,
+        pq_codebooks_seeded,
+    )
+
+    cbv = codebooks_sql_values(pq_codebooks_seeded(64, 8, 16))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        {cbv},
+        d AS (SELECT e.vec_id, cb.m, cb.c,
+                list_sum(list_transform(range(1, 9),
+                  j -> (e.v[cb.m * 8 + j] - cb.cv[j])
+                     * (e.v[cb.m * 8 + j] - cb.cv[j]))) AS dist
+              FROM e, cb),
+        r AS (SELECT vec_id, m, c,
+                row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY dist ASC, c ASC) AS rn
+              FROM d)
+    """
+
+
 def _fs_oracle_ctes() -> str:
     """Shared q60/q61 CTE chain: phonetic-blocked pairs + agreement vector +
     the proxy label (sorted_full equality) + m/u counts as exact integer ppm
@@ -1290,6 +1315,43 @@ def q62_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bcubed_metrics(comp, truth)
 
 
+def q63_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: each 64-dim embedding compressed to 8
+    codebook indices (one Arrow kernel pass, codebook in the closure). Long
+    format (vec_id, m, code) for the oracle's relational argmin."""
+    from name_matching_spark.operators.quantization import (
+        pq_codebooks_seeded,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebooks_seeded(64, 8, 16)
+    enc = pq_encode(emb, cb)
+    return enc.select("vec_id", F.posexplode("codes").alias("m", "code"))
+
+
+def q64_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: raw queries scan the code-compressed
+    corpus (32x smaller than raw vectors — the RAM-resident scan shape at
+    100 TB); distances via codebook gather in one Arrow kernel."""
+    from name_matching_spark.operators.quantization import (
+        pq_codebooks_seeded,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebooks_seeded(64, 8, 16)
+    enc = pq_encode(emb, cb)
+    out = pq_adc_topk(emb.filter(F.col("vec_id") < 50), enc, cb, k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("adc_dist"), 6).alias("adc_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1359,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_fs_weights": q60_fs_weights,
         "q61_fs_scores": q61_fs_scores,
         "q62_bcubed": q62_bcubed,
+        "q63_pq_codes": q63_pq_codes,
+        "q64_pq_adc": q64_pq_adc,
     }
 
 
@@ -2570,5 +2634,30 @@ def oracle_sql() -> dict[str, str]:
                    2 * (p_sum / n_records) * (r_sum / n_records)
                      / ((p_sum / n_records) + (r_sum / n_records)) AS bcubed_f1
             FROM agg
+        """,
+        "q63_pq_codes": _pq_codes_oracle() + """
+            SELECT vec_id, m, c AS code FROM r WHERE rn = 1
+        """,
+        "q64_pq_adc": _pq_codes_oracle() + """,
+            codes AS (SELECT vec_id, m, c FROM r WHERE rn = 1),
+            nc AS (SELECT codes.vec_id AS neighbor_id,
+                          flatten(list(cb.cv ORDER BY codes.m)) AS cvf
+                   FROM codes JOIN cb ON codes.m = cb.m AND codes.c = cb.c
+                   GROUP BY codes.vec_id),
+            q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 50),
+            -- ONE 64-term fold per pair (a pure function of query + codes):
+            -- a GROUP BY sum over per-subspace parts is order-nondeterministic
+            -- and quantization makes exact distance ties the NORM, so tie
+            -- ranking demands bit-stable per-pair distances within the engine
+            adc AS (SELECT q.query_id, n.neighbor_id,
+                      list_sum(list_transform(range(1, 65),
+                        j -> (q.v[j] - n.cvf[j]) * (q.v[j] - n.cvf[j]))) AS adc_dist
+                    FROM q, nc n WHERE q.query_id <> n.neighbor_id),
+            w AS (SELECT query_id, neighbor_id, adc_dist,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+                  FROM adc)
+            SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist, rank
+            FROM w WHERE rank <= 3
         """,
     }
