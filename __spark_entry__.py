@@ -1352,6 +1352,55 @@ def q64_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental linkage: a delta batch (record_id % 10 == 0) assigned to
+    best-matching anchors in the existing corpus — blocked cross-linkage +
+    per-record top-1 at the match threshold; unmatched deltas open new
+    entities. The daily-growth shape: |delta| x block-size pairs scored,
+    never the full self-join."""
+    from name_matching_spark.operators.normalize import LinkageSchema
+    from name_matching_spark.plans.linkage import assign_to_anchors
+
+    person = _person_df(spark, sf_dir)
+    schema = LinkageSchema(
+        id_col="record_id", geo_fields=["province_name", "city_name"]
+    )
+    delta = person.filter(F.col("record_id") % 10 == 0)
+    base = person.filter(F.col("record_id") % 10 != 0)
+    return assign_to_anchors(delta, base, schema)
+
+
+def q66_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 as a driver query: block census rollup — comparisons executed vs
+    potential and the reduction ratio (integer ppm), the blocking-quality
+    report of blocking_implementation.py:99-113. Pure integer arithmetic
+    from one census aggregation; no pair materialization."""
+    from name_matching_spark.operators.blocking import blocking_key_column
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    keyed = norm.withColumn("block_key", blocking_key_column("phonetic"))
+    census = keyed.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
+    agg = census.agg(
+        F.count(F.lit(1)).alias("blocks_created"),
+        F.sum("n").alias("n_records"),
+        F.sum(F.expr("n * (n - 1) DIV 2")).alias("comparisons_executed"),
+    )
+    potential = "n_records * (n_records - 1) DIV 2"
+    return agg.select(
+        "blocks_created",
+        "n_records",
+        "comparisons_executed",
+        F.expr(f"{potential}").alias("comparisons_potential"),
+        F.expr(f"{potential} - comparisons_executed").alias("comparisons_avoided"),
+        F.expr(
+            f"CAST(({potential} - comparisons_executed) * 1000000"
+            f" DIV greatest({potential}, 1) AS BIGINT)"
+        ).alias("reduction_ratio_ppm"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1423,6 +1472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_bcubed": q62_bcubed,
         "q63_pq_codes": q63_pq_codes,
         "q64_pq_adc": q64_pq_adc,
+        "q65_incremental_assign": q65_incremental_assign,
+        "q66_blocking_stats": q66_blocking_stats,
     }
 
 
@@ -1698,6 +1749,48 @@ pairsx AS (
       ON a.block_key = b.block_key
      AND a.record_id % 2 = 0 AND b.record_id % 2 = 1),"""
     return prefix + pairsx + tail
+
+
+def _q65_oracle() -> str:
+    """Incremental-assignment oracle: q15's scoring tail over a delta-vs-base
+    candidate set (delta = record_id % 10 == 0), then per-delta top-1 at
+    score >= 0.75 (ties -> lowest anchor id); unmatched deltas -> -1."""
+    q15 = _q15_oracle()
+    prefix = f"WITH {_LINKAGE_ORACLE_PREFIX},"
+    assert q15.startswith(prefix)
+    tail = q15[len(prefix):].replace("FROM pairs", "FROM pairsd")
+    cut = tail.rindex("SELECT id1, id2, score, classification")
+    tail = tail[:cut].rstrip()
+    pairsd = """
+pairsd AS (
+    SELECT a.record_id AS id1, b.record_id AS id2,
+           a.first_std AS f1, b.first_std AS f2,
+           a.middle_std AS md1, b.middle_std AS md2,
+           a.last_std AS ls1, b.last_std AS ls2,
+           a.sorted_full AS sf1, b.sorted_full AS sf2,
+           a.full_std AS fl1, b.full_std AS fl2,
+           a.birthdate_std AS bd1, b.birthdate_std AS bd2,
+           a.geo0 AS g0a, b.geo0 AS g0b,
+           a.geo1 AS g1a, b.geo1 AS g1b
+    FROM keyed a JOIN keyed b
+      ON a.block_key = b.block_key
+     AND a.record_id % 10 = 0 AND b.record_id % 10 <> 0),"""
+    return prefix + pairsd + tail + """,
+assigned AS (
+    SELECT id1, id2, score,
+           row_number() OVER (PARTITION BY id1
+                              ORDER BY score DESC, id2 ASC) AS rn
+    FROM classed
+    WHERE score >= 0.75::DOUBLE),
+delta AS (SELECT record_id FROM keyed WHERE record_id % 10 = 0)
+SELECT delta.record_id,
+       COALESCE(a.id2, -1) AS anchor_id,
+       a.score AS best_score,
+       CASE WHEN a.id2 IS NULL THEN 1 ELSE 0 END AS is_new
+FROM delta
+LEFT JOIN (SELECT id1, id2, score FROM assigned WHERE rn = 1) a
+  ON a.id1 = delta.record_id
+"""
 
 
 def _q25_oracle() -> str:
@@ -2659,5 +2752,28 @@ def oracle_sql() -> dict[str, str]:
                   FROM adc)
             SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist, rank
             FROM w WHERE rank <= 3
+        """,
+        "q65_incremental_assign": _q65_oracle(),
+        "q66_blocking_stats": _PERSON_CTE + f""",
+            keyed AS (SELECT record_id,
+                upper(substr(first_name, 1, 1)) || '|' || {_sdx_sql(_ORACLE_LAST)}
+                    AS block_key
+                FROM person),
+            census AS (SELECT block_key, count(*) AS n FROM keyed GROUP BY 1),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS blocks_created,
+                           CAST(sum(n) AS BIGINT) AS n_records,
+                           CAST(sum(n * (n - 1) // 2) AS BIGINT)
+                               AS comparisons_executed
+                    FROM census)
+            SELECT blocks_created, n_records, comparisons_executed,
+                   CAST(n_records * (n_records - 1) // 2 AS BIGINT)
+                       AS comparisons_potential,
+                   CAST(n_records * (n_records - 1) // 2 - comparisons_executed
+                        AS BIGINT) AS comparisons_avoided,
+                   CAST((n_records * (n_records - 1) // 2 - comparisons_executed)
+                        * 1000000
+                        // greatest(n_records * (n_records - 1) // 2, 1)
+                        AS BIGINT) AS reduction_ratio_ppm
+            FROM agg
         """,
     }

@@ -29,7 +29,7 @@ from name_matching_spark.operators.score_pairs import (
     top_k_per_record,
 )
 
-__all__ = ["dedup_table", "link_tables", "prepare_linkage_frame"]
+__all__ = ["dedup_table", "link_tables", "prepare_linkage_frame", "assign_to_anchors"]
 
 
 def prepare_linkage_frame(
@@ -261,3 +261,57 @@ def link_tables(
     if top_k:
         results = top_k_per_record(results, top_k)
     return results
+
+
+def assign_to_anchors(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    schema: LinkageSchema | None = None,
+    threshold: float | None = None,
+    blocking: BlockingConfig | None = None,
+    matcher: MatcherConfig | None = None,
+) -> DataFrame:
+    """Incremental linkage: assign each record of ``new_df`` to its best
+    matching anchor in ``base_df`` — blocked cross-linkage, then per-record
+    top-1 at/above the match threshold; unmatched records open new entities
+    (``anchor_id = -1``).
+
+    The production shape for a corpus that grows in batches: a daily delta
+    scores only |delta| x avg-block-size pairs against the existing corpus
+    instead of re-running the full self-join, and the anchor assignment is
+    the cluster merge (new record joins the anchor's cluster).
+
+    Output: ``record_id, anchor_id, best_score, is_new`` (best_score NULL
+    for new entities). Ties on score break toward the lowest anchor id.
+    """
+    from pyspark.sql.window import Window
+
+    matcher = matcher or MatcherConfig()
+    thr = matcher.match_threshold if threshold is None else threshold
+    scored = link_tables(
+        new_df, base_df, schema, schema,
+        blocking=blocking, matcher=matcher, keep_non_match=True,
+    )
+    cand = scored.filter(F.col("score") >= F.lit(float(thr)))
+    w = Window.partitionBy("id1").orderBy(F.desc("score"), F.asc("id2"))
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id1"),
+            F.col("id2").alias("_anchor"),
+            F.col("score").alias("best_score"),
+        )
+    )
+    sch = schema or LinkageSchema()
+    ids = new_df.select(F.col(sch.id_col).alias("record_id"))
+    out = ids.join(best, ids.record_id == best.id1, "left")
+    # sentinel typed to the id column — a bare -1 would coerce string ids
+    # to BIGINT under ANSI and blow up on non-numeric ids
+    sentinel = F.lit(-1).cast(ids.schema["record_id"].dataType)
+    return out.select(
+        "record_id",
+        F.coalesce(F.col("_anchor"), sentinel).alias("anchor_id"),
+        F.col("best_score"),
+        F.when(F.col("_anchor").isNull(), 1).otherwise(0).alias("is_new"),
+    )

@@ -230,3 +230,38 @@ def test_dedup_with_metaphone_pass(spark):
     pairs = set(zip(out["id1"], out["id2"]))
     assert (1, 2) in pairs
     assert len(pairs) == len(out)  # no duplicate pairs across passes
+
+
+def test_assign_to_anchors_incremental(spark, records):
+    """Delta records anchor to their best base match; unseen names open new
+    entities; exact duplicates anchor at score 1.0."""
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.plans.linkage import assign_to_anchors
+
+    base = spark.createDataFrame(records.drop(columns=["entity_id"]))
+    dup_row = records.iloc[[0]].drop(columns=["entity_id"]).assign(record_id="new_dup")
+    novel = pd.DataFrame(
+        [
+            {
+                "record_id": "new_novel",
+                "first_name": "Zebulon",
+                "middle_name_last_name": "Qwerty Zzyzx",
+                "birthdate": "1900-01-01",
+                "province_name": "Nowhere",
+                "city_name": "Nowhere City",
+            }
+        ]
+    )
+    delta = spark.createDataFrame(pd.concat([dup_row, novel]))
+    out = {
+        r["record_id"]: r
+        for r in assign_to_anchors(delta, base, SCHEMA).collect()
+    }
+    assert len(out) == 2
+    dup = out["new_dup"]
+    assert dup["anchor_id"] == records.iloc[0]["record_id"]
+    assert dup["best_score"] == pytest.approx(1.0)
+    assert dup["is_new"] == 0
+    nov = out["new_novel"]
+    assert (nov["anchor_id"], nov["best_score"], nov["is_new"]) == ("-1", None, 1)
