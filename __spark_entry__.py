@@ -1401,6 +1401,26 @@ def q66_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one linkage: reciprocal top-1 assignment over the FS-scored
+    blocked pairs (q61) — keep (a, b) iff b is a's best partner AND a is
+    b's. The merge-workflow shape downstream of scoring: each record
+    commits to at most one partner. Two window shuffles partitioned by
+    record id + a self-join of the (|records|-sized) best-edge frame."""
+    from name_matching_spark.operators.probabilistic import (
+        estimate_mu_weights,
+        fs_score_pairs,
+    )
+    from name_matching_spark.operators.score_pairs import mutual_best_match
+
+    lab = _fs_labeled_pairs(spark, sf_dir)
+    weights = estimate_mu_weights(lab, _FS_FIELDS)
+    scored = fs_score_pairs(lab, weights, _FS_FIELDS)
+    return mutual_best_match(scored, score_col="fs_weight").select(
+        "id1", "id2", "fs_weight"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1474,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_pq_adc": q64_pq_adc,
         "q65_incremental_assign": q65_incremental_assign,
         "q66_blocking_stats": q66_blocking_stats,
+        "q67_mutual_best_match": q67_mutual_best_match,
     }
 
 
@@ -2775,5 +2796,32 @@ def oracle_sql() -> dict[str, str]:
                         // greatest(n_records * (n_records - 1) // 2, 1)
                         AS BIGINT) AS reduction_ratio_ppm
             FROM agg
+        """,
+        "q67_mutual_best_match": _fs_oracle_ctes() + f""",
+            w AS (SELECT
+                max(CASE WHEN field = 'agree_first' THEN {_FS_WA_SQL} END) AS wa_first,
+                max(CASE WHEN field = 'agree_first' THEN {_FS_WD_SQL} END) AS wd_first,
+                max(CASE WHEN field = 'agree_last' THEN {_FS_WA_SQL} END) AS wa_last,
+                max(CASE WHEN field = 'agree_last' THEN {_FS_WD_SQL} END) AS wd_last,
+                max(CASE WHEN field = 'agree_birth_year' THEN {_FS_WA_SQL} END) AS wa_by,
+                max(CASE WHEN field = 'agree_birth_year' THEN {_FS_WD_SQL} END) AS wd_by
+                FROM wppm),
+            scored AS (SELECT p.id1, p.id2,
+                   (CASE WHEN p.agree_first THEN w.wa_first ELSE w.wd_first END)
+                 + (CASE WHEN p.agree_last THEN w.wa_last ELSE w.wd_last END)
+                 + (CASE WHEN p.agree_birth_year THEN w.wa_by ELSE w.wd_by END)
+                       AS fs_weight
+                FROM fs_pairs p CROSS JOIN w),
+            directed AS (SELECT id1 AS src, id2 AS dst, fs_weight FROM scored
+                         UNION ALL
+                         SELECT id2, id1, fs_weight FROM scored),
+            best AS (SELECT src, dst, fs_weight,
+                            row_number() OVER (PARTITION BY src
+                                ORDER BY fs_weight DESC, dst ASC) AS rn
+                     FROM directed)
+            SELECT f.src AS id1, f.dst AS id2, f.fs_weight
+            FROM best f JOIN best r
+              ON f.src = r.dst AND f.dst = r.src AND r.rn = 1
+            WHERE f.rn = 1 AND f.src < f.dst
         """,
     }

@@ -22,7 +22,13 @@ from name_matching_spark.core.scoring import (
 )
 from name_matching_spark.functions.udfs import make_component_scores_udf
 
-__all__ = ["MatcherConfig", "scoring_struct_cols", "score_pairs", "top_k_per_record"]
+__all__ = [
+    "MatcherConfig",
+    "scoring_struct_cols",
+    "score_pairs",
+    "top_k_per_record",
+    "mutual_best_match",
+]
 
 
 @dataclass
@@ -200,4 +206,63 @@ def top_k_per_record(
         matches.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def mutual_best_match(
+    pairs: DataFrame,
+    score_col: str = "score",
+    id1_col: str = "id1",
+    id2_col: str = "id2",
+    symmetric: bool = True,
+) -> DataFrame:
+    """Reciprocal top-1 (one-to-one) matching over scored pairs.
+
+    The reference keeps every pair above the threshold
+    (``src/name_matcher.py:216-247``); deduplication and person-merge
+    workflows additionally need an *assignment*: each record linked to at
+    most one partner, both sides agreeing. The standard scalable relaxation
+    of optimal bipartite assignment is reciprocal best match — keep (a, b)
+    iff b is a's best-scoring partner AND a is b's.
+
+    ``symmetric=True`` treats undirected dedup pairs (``id1 < id2``): each
+    pair is mirrored into both directions first so a record's best partner
+    is taken over *all* pairs touching it, whichever side it appeared on.
+    With ``symmetric=False`` the input is bipartite (left ids never appear
+    on the right) and the mirror step is skipped.
+
+    Ties broken by partner id ascending — deterministic in any engine.
+    Two window shuffles (one per direction) on the pair frame; no joins
+    back to the records. Scale shape: both windows partition by a record
+    id, so skew is bounded by a record's candidate count, not block size.
+    """
+    a, b, s = F.col(id1_col), F.col(id2_col), F.col(score_col)
+    if not symmetric:
+        # bipartite: rank each side's preferences directly on the pair frame
+        w1 = Window.partitionBy(id1_col).orderBy(F.desc(score_col), F.asc(id2_col))
+        w2 = Window.partitionBy(id2_col).orderBy(F.desc(score_col), F.asc(id1_col))
+        return (
+            pairs.withColumn("_r1", F.row_number().over(w1))
+            .withColumn("_r2", F.row_number().over(w2))
+            .filter((F.col("_r1") == 1) & (F.col("_r2") == 1))
+            .drop("_r1", "_r2")
+        )
+    directed = pairs.select(
+        a.alias("_src"), b.alias("_dst"), s.alias("_s")
+    ).unionAll(pairs.select(b.alias("_src"), a.alias("_dst"), s.alias("_s")))
+    w = Window.partitionBy("_src").orderBy(F.desc("_s"), F.asc("_dst"))
+    best = directed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    fwd = best.select(
+        F.col("_src").alias(id1_col),
+        F.col("_dst").alias(id2_col),
+        F.col("_s").alias(score_col),
+    )
+    rev = best.select(
+        F.col("_dst").alias(id1_col), F.col("_src").alias(id2_col)
+    )
+    # each reciprocal pair survives in both orientations; keep one
+    return fwd.join(rev, [id1_col, id2_col], "inner").filter(
+        F.col(id1_col) < F.col(id2_col)
     )

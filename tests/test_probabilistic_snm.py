@@ -189,3 +189,59 @@ def test_bcubed_oversplit_asymmetric(spark):
     row = _bcubed_frames(spark, assignment, truth)
     assert row["bcubed_precision"] == 1.0
     assert row["bcubed_recall"] == pytest.approx(5 / 9)
+
+
+# --------------------------------------------------------------------------
+# mutual best match (reciprocal top-1 assignment)
+# --------------------------------------------------------------------------
+
+def test_mutual_best_match_symmetric(spark):
+    from name_matching_spark.operators.score_pairs import mutual_best_match
+
+    # undirected pairs: a-b (0.9), b-c (0.8), c-d (0.95)
+    # best partners: a->b, b->a, c->d, d->c  => reciprocal: (a,b), (c,d)
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.8), ("c", "d", 0.95)],
+        ["id1", "id2", "score"],
+    )
+    out = {
+        (r["id1"], r["id2"])
+        for r in mutual_best_match(pairs).collect()
+    }
+    assert out == {("a", "b"), ("c", "d")}
+
+
+def test_mutual_best_match_chain_drops_middle(spark):
+    from name_matching_spark.operators.score_pairs import mutual_best_match
+
+    # a-b (0.9), b-c (0.95): b's best is c, c's best is b; a unmatched
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.95)], ["id1", "id2", "score"]
+    )
+    out = {(r["id1"], r["id2"]) for r in mutual_best_match(pairs).collect()}
+    assert out == {("b", "c")}
+
+
+def test_mutual_best_match_tie_breaks_by_id(spark):
+    from name_matching_spark.operators.score_pairs import mutual_best_match
+
+    # b ties between a and c at 0.9 -> partner id ascending picks a
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.9)], ["id1", "id2", "score"]
+    )
+    out = {(r["id1"], r["id2"]) for r in mutual_best_match(pairs).collect()}
+    assert out == {("a", "b")}
+
+
+def test_mutual_best_match_bipartite(spark):
+    from name_matching_spark.operators.score_pairs import mutual_best_match
+
+    # left {l1, l2} vs right {r1}: both lefts prefer r1; r1 prefers l1
+    pairs = spark.createDataFrame(
+        [("l1", "r1", 0.9), ("l2", "r1", 0.8)], ["id1", "id2", "score"]
+    )
+    out = {
+        (r["id1"], r["id2"])
+        for r in mutual_best_match(pairs, symmetric=False).collect()
+    }
+    assert out == {("l1", "r1")}
