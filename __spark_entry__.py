@@ -79,6 +79,36 @@ def _person_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PERSON_SQL)
 
 
+# ---------------------------------------------------------------------------
+# Derived source-code-repository table — the BASELINE.json input_hint shape
+# (repo, path, commit, lang, content), same SQL text in Spark AND DuckDB.
+# (repo, path) collides across doc_ids (moduli 5/3/10, lcm 30), so each file
+# carries a commit history ordered by commit_seq; content is the documents
+# text so content-addressed dedup has real payloads. The parquet-backed
+# synthetic generator for pytest lives in ``datagen.source_files`` (per-row
+# sha256 invariance: tests/test_source_files_invariance.py).
+# ---------------------------------------------------------------------------
+CODE_SQL = """
+SELECT 'org-' || CAST(doc_id % 5 AS STRING) || '/' ||
+           CASE doc_id % 3 WHEN 0 THEN 'parser' WHEN 1 THEN 'web-app'
+                ELSE 'core-lib' END AS repo,
+       'src/module_' || CAST(doc_id % 10 AS STRING) ||
+           CASE doc_id % 3 WHEN 0 THEN '.py' WHEN 1 THEN '.go'
+                ELSE '.rs' END AS path,
+       substr(md5('c' || CAST(doc_id AS STRING)), 1, 12) AS commit,
+       CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'go'
+            ELSE 'rust' END AS lang,
+       text AS content,
+       doc_id AS commit_seq
+FROM documents
+"""
+
+
+def _code_files_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir)
+    return spark.sql(CODE_SQL)
+
+
 # DuckDB rendition of the reference soundex (semantics of
 # /root/reference/src/matcher.py:322-431; validated against the UDF's golden
 # values). ``col`` is an expression string.
@@ -1421,6 +1451,41 @@ def q67_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_repo_head_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule input shape end-to-end: over the (repo, path, commit,
+    lang, content) table, latest-commit-wins per file (one window on the
+    natural key) + content-addressed cross-repo duplicate census on
+    sha256(content) — the snapshot + exact-dedup pass a 10^12-file corpus
+    runs before any fuzzy matching. Scale shape: window partitioned by
+    (repo, path) — no skew beyond a file's commit count — and one shuffle
+    on the content hash."""
+    files = _code_files_df(spark, sf_dir)
+    w = Window.partitionBy("repo", "path").orderBy(F.desc("commit_seq"))
+    heads = (
+        files.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_versions",
+            F.count(F.lit(1)).over(Window.partitionBy("repo", "path")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "n_versions",
+            F.sha2(F.col("content"), 256).alias("content_sha"),
+        )
+    )
+    copies = heads.groupBy("content_sha").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return heads.join(copies, "content_sha").select(
+        "repo", "path", "commit", "lang", "n_versions", "content_sha",
+        "n_copies",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1495,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_incremental_assign": q65_incremental_assign,
         "q66_blocking_stats": q66_blocking_stats,
         "q67_mutual_best_match": q67_mutual_best_match,
+        "q68_repo_head_dedup": q68_repo_head_dedup,
     }
 
 
@@ -2823,5 +2889,22 @@ def oracle_sql() -> dict[str, str]:
             FROM best f JOIN best r
               ON f.src = r.dst AND f.dst = r.src AND r.rn = 1
             WHERE f.rn = 1 AND f.src < f.dst
+        """,
+        "q68_repo_head_dedup": f"""
+            WITH code_files AS ({CODE_SQL}),
+            versioned AS (SELECT *,
+                row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY commit_seq DESC) AS rn,
+                count(*) OVER (PARTITION BY repo, path) AS n_versions
+                FROM code_files),
+            heads AS (SELECT repo, path, commit, lang,
+                             CAST(n_versions AS BIGINT) AS n_versions,
+                             sha256(content) AS content_sha
+                      FROM versioned WHERE rn = 1),
+            copies AS (SELECT content_sha, CAST(count(*) AS BIGINT) AS n_copies
+                       FROM heads GROUP BY 1)
+            SELECT h.repo, h.path, h.commit, h.lang, h.n_versions,
+                   h.content_sha, c.n_copies
+            FROM heads h JOIN copies c USING (content_sha)
         """,
     }
