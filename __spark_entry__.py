@@ -1486,6 +1486,36 @@ def q68_repo_head_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification over the embedding corpus: exact cosine top-5
+    neighbors per query (the q24 kernel path), deterministic pseudo-labels
+    (vec_id % 5), majority vote with votes-then-label tiebreak. The
+    label-propagation / weak-supervision shape of a training-data pipeline
+    — one aggregation + one tiny window after the neighbor search."""
+    from name_matching_spark.operators.similarity_search import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 100)
+    nn = brute_force_topk(queries, emb, k=5)
+    votes = (
+        nn.withColumn("label", F.col("neighbor_id") % 5)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            "votes",
+            (F.col("query_id") % 5).alias("true_label"),
+            (F.col("label") == F.col("query_id") % 5).cast("int").alias("correct"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1561,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_blocking_stats": q66_blocking_stats,
         "q67_mutual_best_match": q67_mutual_best_match,
         "q68_repo_head_dedup": q68_repo_head_dedup,
+        "q69_knn_vote": q69_knn_vote,
     }
 
 
@@ -2906,5 +2937,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.repo, h.path, h.commit, h.lang, h.n_versions,
                    h.content_sha, c.n_copies
             FROM heads h JOIN copies c USING (content_sha)
+        """,
+        "q69_knn_vote": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 100),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            s AS (SELECT query_id, neighbor_id,
+                    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS dot,
+                    sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) AS nq,
+                    sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]))) AS nc
+                  FROM q, c WHERE query_id <> neighbor_id),
+            r AS (SELECT query_id, neighbor_id,
+                    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS cosine
+                  FROM s),
+            w AS (SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                  FROM r),
+            votes AS (SELECT query_id, neighbor_id % 5 AS label,
+                             CAST(count(*) AS BIGINT) AS votes
+                      FROM w WHERE rank <= 5 GROUP BY 1, 2),
+            win AS (SELECT query_id, label, votes,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY votes DESC, label ASC) AS rn
+                    FROM votes)
+            SELECT query_id, label AS pred_label, votes,
+                   query_id % 5 AS true_label,
+                   CAST(label = query_id % 5 AS INT) AS correct
+            FROM win WHERE rn = 1
         """,
     }
