@@ -1516,6 +1516,23 @@ def q69_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication: asymmetric shingle containment
+    |A∩B|/|A| over the banded-MinHash candidates — the vendored-snippet /
+    quoted-passage detector symmetric Jaccard dilutes. Exact ppm integers
+    per direction; keep-filter on the larger direction at 0.5."""
+    from name_matching_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_containment_rerank,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_len=5)
+    return shingle_containment_rerank(
+        docs, cand, threshold_ppm=500_000, shingle_len=5
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1592,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_mutual_best_match": q67_mutual_best_match,
         "q68_repo_head_dedup": q68_repo_head_dedup,
         "q69_knn_vote": q69_knn_vote,
+        "q70_containment": q70_containment,
     }
 
 
@@ -2966,5 +2984,19 @@ def oracle_sql() -> dict[str, str]:
                    query_id % 5 AS true_label,
                    CAST(label = query_id % 5 AS INT) AS correct
             FROM win WHERE rn = 1
+        """,
+        "q70_containment": "WITH "
+        + _lsh_rerank_ctes
+        + """
+            SELECT id1, id2, CAST(intersection AS BIGINT) AS intersection,
+                   CAST(size1 AS BIGINT) AS size1,
+                   CAST(size2 AS BIGINT) AS size2,
+                   CAST(intersection * 1000000 // size1 AS BIGINT)
+                       AS containment1_ppm,
+                   CAST(intersection * 1000000 // size2 AS BIGINT)
+                       AS containment2_ppm
+            FROM j
+            WHERE greatest(intersection * 1000000 // size1,
+                           intersection * 1000000 // size2) >= 500000
         """,
     }

@@ -23,6 +23,7 @@ __all__ = [
     "token_jaccard_pairs",
     "shingle_jaccard_pairs",
     "shingle_jaccard_rerank",
+    "shingle_containment_rerank",
     "minhash_coefficients",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -339,6 +340,61 @@ def shingle_jaccard_rerank(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "intersection", "size1", "size2", "jaccard")
+    )
+
+
+def shingle_containment_rerank(
+    df: DataFrame,
+    pairs: DataFrame,
+    threshold_ppm: int = 500_000,
+    shingle_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric shingle containment C(A,B) = |A ∩ B| / |A| for GIVEN
+    candidate pairs — catches *sub-document* duplication (a file embedded
+    in a larger one, quoted passages, vendored snippets) that symmetric
+    Jaccard dilutes: a 50-shingle file fully contained in a 5000-shingle
+    one has Jaccard ≈ 0.01 but containment 1.0.
+
+    Same scale shape as :func:`shingle_jaccard_rerank` (candidates ×
+    shingles-per-doc). Containment is emitted per direction as exact
+    parts-per-million integers (``intersection * 1e6 DIV size`` — engine-
+    exact, the q09 lesson); a pair is kept when the larger direction
+    reaches ``threshold_ppm``.
+    """
+    sh = _shingles(df, text_col, id_col, shingle_len)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    t1 = sh.select(F.col(id_col).alias("id1"), "shingle")
+    t2 = sh.select(F.col(id_col).alias("id2"), "shingle")
+    cand = pairs.select("id1", "id2")
+    inter = (
+        cand.join(t1, "id1")
+        .join(t2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("intersection"))
+    )
+    return (
+        cand.join(inter, ["id1", "id2"], "left")
+        .withColumn("intersection", F.coalesce(F.col("intersection"), F.lit(0)))
+        .join(sizes.withColumnsRenamed({id_col: "id1", "set_size": "size1"}), "id1")
+        .join(sizes.withColumnsRenamed({id_col: "id2", "set_size": "size2"}), "id2")
+        .withColumn(
+            "containment1_ppm",
+            F.expr("CAST(intersection * 1000000 DIV size1 AS BIGINT)"),
+        )
+        .withColumn(
+            "containment2_ppm",
+            F.expr("CAST(intersection * 1000000 DIV size2 AS BIGINT)"),
+        )
+        .filter(
+            F.greatest("containment1_ppm", "containment2_ppm")
+            >= F.lit(int(threshold_ppm))
+        )
+        .select(
+            "id1", "id2", "intersection", "size1", "size2",
+            "containment1_ppm", "containment2_ppm",
+        )
     )
 
 

@@ -506,3 +506,28 @@ def test_dedup_cluster_invariants(spark):
     assert (g["doc_id"].min() == g["cluster_id"].first()).all()
     assert (g["is_kept"].sum() == 1).all()
     assert (g.size().values == out.groupby("cluster_id")["n_members"].first().values).all()
+
+
+def test_shingle_containment_asymmetric(spark):
+    """A short doc fully embedded in a long one: containment of the short
+    side is 1.0 (1e6 ppm) while Jaccard would be diluted by the long side."""
+    from name_matching_spark.operators.dedup import shingle_containment_rerank
+
+    short = "abcdefgh"  # 4 shingles at k=5
+    long = "XXXX " + short + " YYYY ZZZZ trailing filler text here"
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely different content")],
+        ["doc_id", "text"],
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["id1", "id2"])
+    out = {
+        (r["id1"], r["id2"]): r
+        for r in shingle_containment_rerank(
+            df, cand, threshold_ppm=900_000, shingle_len=5
+        ).collect()
+    }
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r["containment1_ppm"] == 1_000_000  # short fully contained
+    assert r["containment2_ppm"] < 500_000  # not vice versa
+    assert r["intersection"] == r["size1"]
