@@ -1533,6 +1533,26 @@ def q70_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the Fellegi-Sunter classifier (fs_weight > 0)
+    against the proxy gold label — chance-corrected agreement, the
+    reviewer-calibration metric. ppm-integer p_o/p_e; kappa from the exact
+    integers."""
+    from name_matching_spark.operators.evaluation import cohens_kappa
+    from name_matching_spark.operators.probabilistic import (
+        estimate_mu_weights,
+        fs_score_pairs,
+    )
+
+    lab = _fs_labeled_pairs(spark, sf_dir)
+    weights = estimate_mu_weights(lab, _FS_FIELDS)
+    scored = fs_score_pairs(lab, weights, _FS_FIELDS).withColumn(
+        "pred_label",
+        F.when(F.col("fs_weight") > 0, "match").otherwise("non-match"),
+    )
+    return cohens_kappa(scored, "pred_label", "true_label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1610,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_repo_head_dedup": q68_repo_head_dedup,
         "q69_knn_vote": q69_knn_vote,
         "q70_containment": q70_containment,
+        "q71_kappa": q71_kappa,
     }
 
 
@@ -2998,5 +3019,42 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE greatest(intersection * 1000000 // size1,
                            intersection * 1000000 // size2) >= 500000
+        """,
+        "q71_kappa": _fs_oracle_ctes() + f""",
+            w AS (SELECT
+                max(CASE WHEN field = 'agree_first' THEN {_FS_WA_SQL} END) AS wa_first,
+                max(CASE WHEN field = 'agree_first' THEN {_FS_WD_SQL} END) AS wd_first,
+                max(CASE WHEN field = 'agree_last' THEN {_FS_WA_SQL} END) AS wa_last,
+                max(CASE WHEN field = 'agree_last' THEN {_FS_WD_SQL} END) AS wd_last,
+                max(CASE WHEN field = 'agree_birth_year' THEN {_FS_WA_SQL} END) AS wa_by,
+                max(CASE WHEN field = 'agree_birth_year' THEN {_FS_WD_SQL} END) AS wd_by
+                FROM wppm),
+            lbl AS (SELECT
+                   CASE WHEN
+                       (CASE WHEN p.agree_first THEN w.wa_first ELSE w.wd_first END)
+                     + (CASE WHEN p.agree_last THEN w.wa_last ELSE w.wd_last END)
+                     + (CASE WHEN p.agree_birth_year THEN w.wa_by ELSE w.wd_by END)
+                       > 0 THEN 'match' ELSE 'non-match' END AS pred,
+                   CASE WHEN p.is_match THEN 'match' ELSE 'non-match' END AS truth
+                FROM fs_pairs p CROSS JOIN w),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                           CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_agree
+                    FROM lbl),
+            pm AS (SELECT pred AS cls, count(*) AS n_pred FROM lbl GROUP BY 1),
+            tm AS (SELECT truth AS cls, count(*) AS n_truth FROM lbl GROUP BY 1),
+            pe AS (SELECT COALESCE(CAST(sum(n_pred * n_truth) AS BIGINT), 0)
+                              AS pe_num
+                   FROM pm JOIN tm USING (cls)),
+            ppm AS (SELECT n_pairs, n_agree,
+                           CAST(n_agree * 1000000 // n_pairs AS BIGINT) AS po_ppm,
+                           CAST(pe_num * 1000000 // (n_pairs * n_pairs)
+                                AS BIGINT) AS pe_ppm
+                    FROM agg CROSS JOIN pe)
+            SELECT n_pairs, n_agree, po_ppm, pe_ppm,
+                   CASE WHEN pe_ppm = 1000000 THEN 0.0
+                        ELSE CAST(po_ppm - pe_ppm AS DOUBLE)
+                             / CAST(1000000 - pe_ppm AS DOUBLE) END AS kappa
+            FROM ppm
         """,
     }

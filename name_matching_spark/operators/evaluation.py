@@ -13,7 +13,13 @@ from pyspark.sql import functions as F
 
 from name_matching_spark.core.scoring import DEFAULT_MATCH_THRESHOLD
 
-__all__ = ["confusion_counts", "pairwise_metrics", "threshold_sweep", "bcubed_metrics"]
+__all__ = [
+    "confusion_counts",
+    "pairwise_metrics",
+    "threshold_sweep",
+    "bcubed_metrics",
+    "cohens_kappa",
+]
 
 
 def confusion_counts(
@@ -165,3 +171,55 @@ def pairwise_metrics(
         "precision": precision, "recall": recall, "f1": f1,
         "threshold": match_threshold,
     }
+
+
+def cohens_kappa(
+    df: DataFrame, pred_col: str, truth_col: str
+) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between two labelings
+    (classifier vs gold, or two annotators) — the review-workflow metric
+    for "is this matcher better than marginal-rate chance".
+
+    Multi-class: ``p_e = Σ_c (n_pred(c) · n_truth(c)) / n²``. Observed and
+    expected agreement are emitted as exact parts-per-million integers
+    (pure integer arithmetic — the q09 lesson), and kappa is derived from
+    those exact integers, so both engines feed identical doubles into the
+    final division. Convention: ``p_e = 1`` ⇒ kappa 0.0.
+
+    Three scans of the (already tiny after scoring) frame — one global
+    aggregate + two marginal group-bys joined on class; the marginal join
+    carries one row per class label.
+    """
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.col(pred_col) == F.col(truth_col)).cast("bigint")
+        ).alias("n_agree"),
+    )
+    pred_m = df.groupBy(F.col(pred_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    truth_m = df.groupBy(F.col(truth_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    pe_num = pred_m.join(truth_m, "cls").agg(
+        F.coalesce(
+            F.sum(F.col("n_pred") * F.col("n_truth")), F.lit(0)
+        ).alias("pe_num")
+    )
+    out = agg.crossJoin(pe_num)
+    return out.select(
+        "n_pairs",
+        "n_agree",
+        F.expr("CAST(n_agree * 1000000 DIV n_pairs AS BIGINT)").alias("po_ppm"),
+        F.expr(
+            "CAST(pe_num * 1000000 DIV (n_pairs * n_pairs) AS BIGINT)"
+        ).alias("pe_ppm"),
+    ).withColumn(
+        "kappa",
+        F.expr(
+            "CASE WHEN pe_ppm = 1000000 THEN 0.0 "
+            "ELSE CAST(po_ppm - pe_ppm AS DOUBLE) / "
+            "CAST(1000000 - pe_ppm AS DOUBLE) END"
+        ),
+    )

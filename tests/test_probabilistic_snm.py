@@ -245,3 +245,32 @@ def test_mutual_best_match_bipartite(spark):
         for r in mutual_best_match(pairs, symmetric=False).collect()
     }
     assert out == {("l1", "r1")}
+
+
+def test_cohens_kappa_values(spark):
+    from name_matching_spark.operators.evaluation import cohens_kappa
+
+    # n=10, agree=7; pred marginals 6/4, truth 5/5 ->
+    # po=0.7, pe=(6*5+4*5)/100=0.5, kappa=0.4
+    rows = (
+        [("match", "match")] * 4
+        + [("non-match", "non-match")] * 3
+        + [("match", "non-match")] * 2
+        + [("non-match", "match")] * 1
+    )
+    df = spark.createDataFrame(rows, ["pred", "truth"])
+    r = cohens_kappa(df, "pred", "truth").collect()[0]
+    assert (r["n_pairs"], r["n_agree"]) == (10, 7)
+    assert (r["po_ppm"], r["pe_ppm"]) == (700000, 500000)
+    assert r["kappa"] == pytest.approx(0.4)
+
+
+def test_cohens_kappa_perfect(spark):
+    from name_matching_spark.operators.evaluation import cohens_kappa
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("c", "c"), ("a", "a")], ["pred", "truth"]
+    )
+    r = cohens_kappa(df, "pred", "truth").collect()[0]
+    assert r["po_ppm"] == 1000000
+    assert r["kappa"] == 1.0
