@@ -1553,6 +1553,31 @@ def q71_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(scored, "pred_label", "true_label")
 
 
+def q72_qgram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram multiset cosine over phonetic-blocked pairs — the
+    vector-space string similarity (complements JW/DL edit distances and
+    token Jaccard). Integer gram counts end-to-end; the only doubles are
+    the final sqrt/division over identical ints in both engines."""
+    from name_matching_spark.operators.blocking import blocking_key_column
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+    from name_matching_spark.operators.score_pairs import qgram_cosine_pairs
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    keyed = norm.withColumn("block_key", blocking_key_column("phonetic"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.record_id") < F.col("b.record_id")),
+    ).select(
+        F.col("a.record_id").alias("id1"), F.col("b.record_id").alias("id2")
+    )
+    return qgram_cosine_pairs(
+        norm.select("record_id", "sorted_full"), pairs, "sorted_full"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1631,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_knn_vote": q69_knn_vote,
         "q70_containment": q70_containment,
         "q71_kappa": q71_kappa,
+        "q72_qgram_cosine": q72_qgram_cosine,
     }
 
 
@@ -3056,5 +3082,37 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(po_ppm - pe_ppm AS DOUBLE)
                              / CAST(1000000 - pe_ppm AS DOUBLE) END AS kappa
             FROM ppm
+        """,
+        "q72_qgram_cosine": _PERSON_CTE + f""",
+            named AS (SELECT record_id,
+                             {_SORTED_FULL_SQL} AS sorted_full,
+                             upper(substr(first_name, 1, 1)) || '|' ||
+                                 {_sdx_sql(_ORACLE_LAST)} AS block_key
+                      FROM person),
+            prs AS (SELECT a.record_id AS id1, b.record_id AS id2
+                    FROM named a
+                    JOIN named b ON a.block_key = b.block_key
+                                AND a.record_id < b.record_id),
+            grams AS (SELECT rid, substr(sorted_full, CAST(i AS INT), 2) AS gram
+                      FROM (SELECT record_id AS rid, sorted_full,
+                                   unnest(range(1, length(sorted_full))) AS i
+                            FROM named WHERE length(sorted_full) >= 2)),
+            gc AS (SELECT rid, gram, CAST(count(*) AS BIGINT) AS c
+                   FROM grams GROUP BY 1, 2),
+            norms AS (SELECT rid, CAST(sum(c * c) AS BIGINT) AS sq
+                      FROM gc GROUP BY 1),
+            dt AS (SELECT p.id1, p.id2, CAST(sum(g1.c * g2.c) AS BIGINT) AS dot
+                   FROM prs p
+                   JOIN gc g1 ON g1.rid = p.id1
+                   JOIN gc g2 ON g2.rid = p.id2 AND g2.gram = g1.gram
+                   GROUP BY 1, 2)
+            SELECT p.id1, p.id2, COALESCE(d.dot, 0) AS dot,
+                   n1.sq AS sq1, n2.sq AS sq2,
+                   COALESCE(d.dot, 0) / (sqrt(n1.sq) * sqrt(n2.sq))
+                       AS qgram_cosine
+            FROM prs p
+            LEFT JOIN dt d ON d.id1 = p.id1 AND d.id2 = p.id2
+            JOIN norms n1 ON n1.rid = p.id1
+            JOIN norms n2 ON n2.rid = p.id2
         """,
     }

@@ -28,6 +28,7 @@ __all__ = [
     "score_pairs",
     "top_k_per_record",
     "mutual_best_match",
+    "qgram_cosine_pairs",
 ]
 
 
@@ -265,4 +266,69 @@ def mutual_best_match(
     # each reciprocal pair survives in both orientations; keep one
     return fwd.join(rev, [id1_col, id2_col], "inner").filter(
         F.col(id1_col) < F.col(id2_col)
+    )
+
+
+def qgram_cosine_pairs(
+    records: DataFrame,
+    pairs: DataFrame,
+    name_col: str,
+    id_col: str = "record_id",
+    q: int = 2,
+) -> DataFrame:
+    """Character q-gram multiset cosine similarity for candidate pairs —
+    the vector-space member of the string-similarity family (alongside
+    edit-distance JW/DL and token-set Jaccard): profile each name as its
+    q-gram count vector, score a pair by the cosine of the two vectors.
+    Order-insensitive at the gram level, so it tolerates transpositions
+    spanning token boundaries that JW penalizes.
+
+    Fully relational: explode positions (one row per gram), count per
+    (record, gram), join candidate pairs to both gram tables for the dot
+    product, join per-record squared norms back. All arithmetic stays in
+    exact integers until the final ``dot / (sqrt(sq1) * sqrt(sq2))`` — the
+    same doubles in any engine. Names shorter than ``q`` have no profile
+    and drop from the output (inner norm join).
+
+    Scale shape: gram postings are |records| × (len−q+1) rows; the dot
+    join shuffles on (record, gram) — bounded by pair count × grams per
+    name, never corpus².
+    """
+    grams = (
+        records.select(F.col(id_col).alias("_rid"), F.col(name_col).alias("_nm"))
+        .filter(F.length("_nm") >= q)
+        .select(
+            "_rid",
+            "_nm",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_nm") - (q - 1))
+            ).alias("_i"),
+        )
+        .select("_rid", F.expr(f"substring(_nm, _i, {q})").alias("gram"))
+        .groupBy("_rid", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = grams.groupBy("_rid").agg(
+        F.sum(F.col("c") * F.col("c")).alias("sq")
+    )
+    g1 = grams.select(F.col("_rid").alias("id1"), "gram", F.col("c").alias("c1"))
+    g2 = grams.select(F.col("_rid").alias("id2"), "gram", F.col("c").alias("c2"))
+    dot = (
+        pairs.select("id1", "id2")
+        .join(g1, "id1")
+        .join(g2, ["id2", "gram"])
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("c1") * F.col("c2")).alias("dot"))
+    )
+    return (
+        pairs.select("id1", "id2")
+        .join(dot, ["id1", "id2"], "left")
+        .withColumn("dot", F.coalesce(F.col("dot"), F.lit(0)))
+        .join(norms.withColumnsRenamed({"_rid": "id1", "sq": "sq1"}), "id1")
+        .join(norms.withColumnsRenamed({"_rid": "id2", "sq": "sq2"}), "id2")
+        .withColumn(
+            "qgram_cosine",
+            F.col("dot") / (F.sqrt(F.col("sq1")) * F.sqrt(F.col("sq2"))),
+        )
+        .select("id1", "id2", "dot", "sq1", "sq2", "qgram_cosine")
     )

@@ -274,3 +274,24 @@ def test_cohens_kappa_perfect(spark):
     r = cohens_kappa(df, "pred", "truth").collect()[0]
     assert r["po_ppm"] == 1000000
     assert r["kappa"] == 1.0
+
+
+def test_qgram_cosine_golden(spark):
+    from name_matching_spark.operators.score_pairs import qgram_cosine_pairs
+
+    # martha: {ma,ar,rt,th,ha}; marhta: {ma,ar,rh,ht,ta} -> dot=2, norms 5
+    recs = spark.createDataFrame(
+        [(1, "martha"), (2, "marhta"), (3, "aaa")], ["record_id", "name"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id1", "id2"])
+    out = {
+        (r["id1"], r["id2"]): r
+        for r in qgram_cosine_pairs(recs, pairs, "name").collect()
+    }
+    r12 = out[(1, 2)]
+    assert (r12["dot"], r12["sq1"], r12["sq2"]) == (2, 5, 5)
+    assert r12["qgram_cosine"] == pytest.approx(0.4)
+    # "aaa" has profile {aa: 2} -> sq=4, zero overlap with martha
+    r13 = out[(1, 3)]
+    assert (r13["dot"], r13["sq2"]) == (0, 4)
+    assert r13["qgram_cosine"] == 0.0
