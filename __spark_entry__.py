@@ -1578,6 +1578,38 @@ def q72_qgram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_value_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-specific frequency weighting (Winkler's refinement of global
+    FS u-probabilities): agreement on a rare value outweighs agreement on
+    a common one — weight = -log2(freq/n) from exact ppm integers. One
+    broadcast census join per field; pairs earn a field's weight only on
+    non-null agreement."""
+    from name_matching_spark.operators.blocking import blocking_key_column
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+    from name_matching_spark.operators.probabilistic import frequency_weighted_pairs
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    named = norm.select(
+        "record_id",
+        "first_std",
+        "last_std",
+        F.substring(F.col("birthdate_std"), 1, 4).alias("birth_year"),
+        blocking_key_column("phonetic").alias("block_key"),
+    )
+    a, b = named.alias("a"), named.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.record_id") < F.col("b.record_id")),
+    ).select(
+        F.col("a.record_id").alias("id1"), F.col("b.record_id").alias("id2")
+    )
+    return frequency_weighted_pairs(
+        named.drop("block_key"), pairs, ["first_std", "last_std", "birth_year"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1657,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_containment": q70_containment,
         "q71_kappa": q71_kappa,
         "q72_qgram_cosine": q72_qgram_cosine,
+        "q73_value_weights": q73_value_weights,
     }
 
 
@@ -3114,5 +3147,56 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN dt d ON d.id1 = p.id1 AND d.id2 = p.id2
             JOIN norms n1 ON n1.rid = p.id1
             JOIN norms n2 ON n2.rid = p.id2
+        """,
+        "q73_value_weights": _PERSON_CTE + f""",
+            named AS (SELECT record_id,
+                             lower(first_name) AS first_std,
+                             {_ORACLE_LAST} AS last_std,
+                             substr(birthdate, 1, 4) AS birth_year,
+                             upper(substr(first_name, 1, 1)) || '|' ||
+                                 {_sdx_sql(_ORACLE_LAST)} AS block_key
+                      FROM person),
+            prs AS (SELECT a.record_id AS id1, b.record_id AS id2
+                    FROM named a
+                    JOIN named b ON a.block_key = b.block_key
+                                AND a.record_id < b.record_id),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM named),
+            cf AS (SELECT first_std AS v,
+                          greatest(CAST(count(*) * 1000000 // max(nn.n)
+                                        AS BIGINT), 1) AS u_ppm
+                   FROM named CROSS JOIN nn
+                   WHERE first_std IS NOT NULL GROUP BY 1),
+            cl AS (SELECT last_std AS v,
+                          greatest(CAST(count(*) * 1000000 // max(nn.n)
+                                        AS BIGINT), 1) AS u_ppm
+                   FROM named CROSS JOIN nn
+                   WHERE last_std IS NOT NULL GROUP BY 1),
+            cy AS (SELECT birth_year AS v,
+                          greatest(CAST(count(*) * 1000000 // max(nn.n)
+                                        AS BIGINT), 1) AS u_ppm
+                   FROM named CROSS JOIN nn
+                   WHERE birth_year IS NOT NULL GROUP BY 1),
+            wts AS (SELECT p.id1, p.id2,
+                   CASE WHEN a.first_std IS NOT NULL AND b.first_std IS NOT NULL
+                             AND a.first_std = b.first_std
+                        THEN log2(1000000.0 / CAST(uf.u_ppm AS DOUBLE))
+                        ELSE 0.0 END AS w_first_std,
+                   CASE WHEN a.last_std IS NOT NULL AND b.last_std IS NOT NULL
+                             AND a.last_std = b.last_std
+                        THEN log2(1000000.0 / CAST(ul.u_ppm AS DOUBLE))
+                        ELSE 0.0 END AS w_last_std,
+                   CASE WHEN a.birth_year IS NOT NULL AND b.birth_year IS NOT NULL
+                             AND a.birth_year = b.birth_year
+                        THEN log2(1000000.0 / CAST(uy.u_ppm AS DOUBLE))
+                        ELSE 0.0 END AS w_birth_year
+                FROM prs p
+                JOIN named a ON a.record_id = p.id1
+                JOIN named b ON b.record_id = p.id2
+                LEFT JOIN cf uf ON uf.v = a.first_std
+                LEFT JOIN cl ul ON ul.v = a.last_std
+                LEFT JOIN cy uy ON uy.v = a.birth_year)
+            SELECT id1, id2, w_first_std, w_last_std, w_birth_year,
+                   w_first_std + w_last_std + w_birth_year AS vf_weight
+            FROM wts
         """,
     }

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["estimate_mu_weights", "fs_score_pairs"]
+__all__ = [
+    "estimate_mu_weights",
+    "fs_score_pairs",
+    "value_frequency_weights",
+    "frequency_weighted_pairs",
+]
 
 
 def estimate_mu_weights(
@@ -114,3 +119,110 @@ def fs_score_pairs(
     return pairs.withColumn("fs_weight", total).withColumn(
         "fs_match", (F.col("fs_weight") > 0).cast("int")
     )
+
+
+def value_frequency_weights(
+    records: DataFrame, fields: list[str], id_col: str = "record_id"
+) -> DataFrame:
+    """Per-field VALUE-SPECIFIC agreement weights (Winkler's refinement of
+    global Fellegi-Sunter u-probabilities): agreeing on a rare surname is
+    far stronger evidence than agreeing on a frequent one, so the weight
+    of an agreement on value ``v`` is ``-log2(u(v))`` with
+    ``u(v) = freq(v) / n`` — the probability a random record carries
+    ``v``.
+
+    One census aggregation per field, unpivoted to
+    ``(field, value, n_value, u_ppm, weight)``. ``u_ppm`` is the exact
+    integer parts-per-million (clamped to >= 1 so the weight stays
+    finite); ``weight = log2(1e6 / u_ppm)`` is computed from that exact
+    integer — identical doubles in any engine. NULL values get no weight
+    row (NULL agreement is not evidence).
+    """
+    n = records.count()
+    out = None
+    for f in fields:
+        census = (
+            records.filter(F.col(f).isNotNull())
+            .groupBy(F.col(f).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias("n_value"))
+            .select(
+                F.lit(f).alias("field"),
+                "value",
+                "n_value",
+                F.expr(
+                    f"greatest(CAST(n_value * 1000000 DIV {n} AS BIGINT), 1)"
+                ).alias("u_ppm"),
+            )
+        )
+        out = census if out is None else out.unionAll(census)
+    return out.withColumn(
+        "weight",
+        F.log2(F.lit(1000000.0) / F.col("u_ppm").cast("double")),
+    )
+
+
+def frequency_weighted_pairs(
+    records: DataFrame,
+    pairs: DataFrame,
+    fields: list[str],
+    id_col: str = "record_id",
+) -> DataFrame:
+    """Score candidate pairs by summed value-specific agreement weights.
+
+    Each record is augmented once with its per-field ``u_ppm`` (one
+    broadcast-sized census join per field — distinct values, not
+    records); a pair earns field ``f``'s weight iff both sides agree on a
+    non-null value, in which case both sides carry the SAME census row,
+    so only side 1's needs to ride the pair join. Disagreement scores 0
+    (the value-specific scheme refines agreement evidence; global
+    disagreement weights stay with :func:`estimate_mu_weights`).
+
+    Output: ``id1, id2`` + ``w_<field>`` per field + ``vf_weight``.
+    """
+    n = records.count()
+    aug = records
+    for f in fields:
+        census = (
+            records.filter(F.col(f).isNotNull())
+            .groupBy(f)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(
+                F.col(f),
+                F.expr(
+                    f"greatest(CAST(_n * 1000000 DIV {n} AS BIGINT), 1)"
+                ).alias(f"_uppm_{f}"),
+            )
+        )
+        aug = aug.join(F.broadcast(census), f, "left")
+    keep = [F.col(id_col)] + [F.col(f) for f in fields] + [
+        F.col(f"_uppm_{f}") for f in fields
+    ]
+    aug = aug.select(*keep)
+    s1 = aug.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(f).alias(f"_{f}_1") for f in fields],
+        *[F.col(f"_uppm_{f}").alias(f"_uppm_{f}_1") for f in fields],
+    )
+    s2 = aug.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(f).alias(f"_{f}_2") for f in fields],
+    )
+    j = pairs.select("id1", "id2").join(s1, "id1").join(s2, "id2")
+    total = None
+    cols = [F.col("id1"), F.col("id2")]
+    for f in fields:
+        agree = (
+            F.col(f"_{f}_1").isNotNull()
+            & F.col(f"_{f}_2").isNotNull()
+            & (F.col(f"_{f}_1") == F.col(f"_{f}_2"))
+        )
+        w = F.when(
+            agree,
+            F.log2(
+                F.lit(1000000.0) / F.col(f"_uppm_{f}_1").cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+        cols.append(w.alias(f"w_{f}"))
+        total = w if total is None else total + w
+    cols.append(total.alias("vf_weight"))
+    return j.select(*cols)

@@ -295,3 +295,48 @@ def test_qgram_cosine_golden(spark):
     r13 = out[(1, 3)]
     assert (r13["dot"], r13["sq2"]) == (0, 4)
     assert r13["qgram_cosine"] == 0.0
+
+
+def test_value_frequency_weights(spark):
+    import math
+
+    from name_matching_spark.operators.probabilistic import (
+        frequency_weighted_pairs,
+        value_frequency_weights,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            (1, "smith", "1990"),
+            (2, "smith", "1990"),
+            (3, "smith", "1991"),
+            (4, "zorro", None),
+        ],
+        ["record_id", "last", "year"],
+    )
+    w = {
+        (r["field"], r["value"]): r
+        for r in value_frequency_weights(recs, ["last", "year"]).collect()
+    }
+    # smith: 3/4 -> 750000 ppm; zorro: 1/4 -> 250000 ppm (exact integers)
+    assert w[("last", "smith")]["u_ppm"] == 750000
+    assert w[("last", "zorro")]["u_ppm"] == 250000
+    assert w[("last", "zorro")]["weight"] == pytest.approx(2.0)
+    assert ("year", None) not in w  # NULLs carry no evidence
+
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (3, 4)], ["id1", "id2"])
+    out = {
+        (r["id1"], r["id2"]): r
+        for r in frequency_weighted_pairs(recs, pairs, ["last", "year"]).collect()
+    }
+    # (1,2): smith + 1990 agree -> both weights sum
+    exp_last = math.log2(1e6 / 750000)
+    exp_year = math.log2(1e6 / 500000)
+    assert out[(1, 2)]["w_last"] == pytest.approx(exp_last)
+    assert out[(1, 2)]["w_year"] == pytest.approx(exp_year)
+    assert out[(1, 2)]["vf_weight"] == pytest.approx(exp_last + exp_year)
+    # (1,3): years differ -> only last-name weight
+    assert out[(1, 3)]["w_year"] == 0.0
+    assert out[(1, 3)]["vf_weight"] == pytest.approx(exp_last)
+    # (3,4): nothing agrees (year NULL on one side) -> 0
+    assert out[(3, 4)]["vf_weight"] == 0.0
