@@ -1610,6 +1610,58 @@ def q73_value_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_multipass_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocking with provenance: the union of three candidate
+    generators — phonetic-key equality, token-sort-key equality, and
+    sorted-neighborhood — deduplicated on the oriented pair, with
+    per-pass membership flags. The production ER shape: no single key
+    survives every typo class, so passes OR together; the flags show each
+    pass's marginal contribution. One shuffle per pass + one dedup
+    aggregation, all equality/window joins (no cross products)."""
+    from name_matching_spark.operators.blocking import (
+        blocking_key_column,
+        sorted_neighborhood_pairs,
+    )
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    keyed = norm.withColumn("block_key", blocking_key_column("phonetic"))
+
+    def self_pairs(key: str) -> DataFrame:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.record_id") < F.col("b.record_id")),
+        ).select(
+            F.col("a.record_id").alias("id1"), F.col("b.record_id").alias("id2")
+        )
+
+    p1 = self_pairs("block_key").withColumn("_pass", F.lit("phonetic"))
+    p2 = self_pairs("sorted_full").withColumn("_pass", F.lit("tokensort"))
+    p3 = (
+        sorted_neighborhood_pairs(norm, "sorted_full", window=4)
+        .select(
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
+        )
+        .withColumn("_pass", F.lit("snm"))
+    )
+    u = p1.unionAll(p2).unionAll(p3)
+    flag = lambda name: F.max(  # noqa: E731
+        (F.col("_pass") == name).cast("int")
+    ).alias(f"in_{name}")
+    return (
+        u.groupBy("id1", "id2")
+        .agg(flag("phonetic"), flag("tokensort"), flag("snm"))
+        .withColumn(
+            "n_passes",
+            F.col("in_phonetic") + F.col("in_tokensort") + F.col("in_snm"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1690,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_kappa": q71_kappa,
         "q72_qgram_cosine": q72_qgram_cosine,
         "q73_value_weights": q73_value_weights,
+        "q74_multipass_blocking": q74_multipass_blocking,
     }
 
 
@@ -3198,5 +3251,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT id1, id2, w_first_std, w_last_std, w_birth_year,
                    w_first_std + w_last_std + w_birth_year AS vf_weight
             FROM wts
+        """,
+        "q74_multipass_blocking": _PERSON_CTE + f""",
+            named AS (SELECT record_id,
+                             {_SORTED_FULL_SQL} AS sorted_full,
+                             upper(substr(first_name, 1, 1)) || '|' ||
+                                 {_sdx_sql(_ORACLE_LAST)} AS block_key
+                      FROM person),
+            p1 AS (SELECT a.record_id AS id1, b.record_id AS id2,
+                          'phonetic' AS p
+                   FROM named a
+                   JOIN named b ON a.block_key = b.block_key
+                               AND a.record_id < b.record_id),
+            p2 AS (SELECT a.record_id AS id1, b.record_id AS id2,
+                          'tokensort' AS p
+                   FROM named a
+                   JOIN named b ON a.sorted_full = b.sorted_full
+                               AND a.record_id < b.record_id),
+            ranked AS (SELECT record_id, sorted_full,
+                              row_number() OVER (ORDER BY sorted_full,
+                                                 record_id) AS rnk
+                       FROM named),
+            p3 AS (SELECT least(a.record_id, b.record_id) AS id1,
+                          greatest(a.record_id, b.record_id) AS id2,
+                          'snm' AS p
+                   FROM ranked a
+                   JOIN ranked b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4),
+            u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                  UNION ALL SELECT * FROM p3),
+            agg AS (SELECT id1, id2,
+                        max(CASE WHEN p = 'phonetic' THEN 1 ELSE 0 END)
+                            AS in_phonetic,
+                        max(CASE WHEN p = 'tokensort' THEN 1 ELSE 0 END)
+                            AS in_tokensort,
+                        max(CASE WHEN p = 'snm' THEN 1 ELSE 0 END) AS in_snm
+                    FROM u GROUP BY 1, 2)
+            SELECT id1, id2, in_phonetic, in_tokensort, in_snm,
+                   in_phonetic + in_tokensort + in_snm AS n_passes
+            FROM agg
         """,
     }

@@ -340,3 +340,23 @@ def test_value_frequency_weights(spark):
     assert out[(1, 3)]["vf_weight"] == pytest.approx(exp_last)
     # (3,4): nothing agrees (year NULL on one side) -> 0
     assert out[(3, 4)]["vf_weight"] == 0.0
+
+
+def test_multipass_blocking_provenance(spark):
+    """q74 invariants at sf0.001: oriented unique pairs; flags consistent
+    with n_passes; every tokensort pair is also an SNM pair at distance 1+
+    only when adjacent — and each pass contributes at least one pair."""
+    import __spark_entry__ as e
+
+    out = e.q74_multipass_blocking(spark, "/root/testdata/sf0.001").toPandas()
+    assert (out["id1"] < out["id2"]).all()
+    assert not out.duplicated(["id1", "id2"]).any()
+    assert (
+        out["n_passes"]
+        == out["in_phonetic"] + out["in_tokensort"] + out["in_snm"]
+    ).all()
+    assert out["in_phonetic"].sum() > 0
+    assert out["in_tokensort"].sum() > 0
+    assert out["in_snm"].sum() > 0
+    # multi-pass must add pairs beyond any single pass
+    assert len(out) > out["in_phonetic"].sum() or len(out) > out["in_snm"].sum()
