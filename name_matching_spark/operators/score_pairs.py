@@ -248,24 +248,37 @@ def mutual_best_match(
             .filter((F.col("_r1") == 1) & (F.col("_r2") == 1))
             .drop("_r1", "_r2")
         )
+    # mirror via explode, not union: one scan of the (possibly expensive)
+    # pair frame instead of two recomputations of its upstream
     directed = pairs.select(
-        a.alias("_src"), b.alias("_dst"), s.alias("_s")
-    ).unionAll(pairs.select(b.alias("_src"), a.alias("_dst"), s.alias("_s")))
+        s.alias("_s"),
+        F.explode(
+            F.array(
+                F.struct(a.alias("_src"), b.alias("_dst")),
+                F.struct(b.alias("_src"), a.alias("_dst")),
+            )
+        ).alias("_e"),
+    ).select(F.col("_e._src").alias("_src"), F.col("_e._dst").alias("_dst"), "_s")
     w = Window.partitionBy("_src").orderBy(F.desc("_s"), F.asc("_dst"))
     best = directed.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
     )
-    fwd = best.select(
-        F.col("_src").alias(id1_col),
-        F.col("_dst").alias(id2_col),
-        F.col("_s").alias(score_col),
-    )
-    rev = best.select(
-        F.col("_dst").alias(id1_col), F.col("_src").alias(id2_col)
-    )
-    # each reciprocal pair survives in both orientations; keep one
-    return fwd.join(rev, [id1_col, id2_col], "inner").filter(
-        F.col(id1_col) < F.col(id2_col)
+    # a reciprocal pair contributes exactly two best-edges — one per
+    # orientation, from two distinct _src partitions — so grouping by the
+    # canonical pair and keeping count == 2 IS the reciprocity test: one
+    # pass over `best`, no self-join (which would recompute the whole
+    # upstream pair pipeline once per join arm)
+    return (
+        best.groupBy(
+            F.least("_src", "_dst").alias(id1_col),
+            F.greatest("_src", "_dst").alias(id2_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n_dir"),
+            F.max("_s").alias(score_col),
+        )
+        .filter(F.col("_n_dir") == 2)
+        .drop("_n_dir")
     )
 
 
