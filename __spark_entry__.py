@@ -1662,6 +1662,16 @@ def q74_multipass_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus bigram novelty per document (fraction of distinct
+    bigrams appearing in no other doc) — boilerplate/template detector,
+    pure integers to an exact ppm."""
+    from name_matching_spark.operators.text_analysis import bigram_novelty
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_novelty(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1743,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_qgram_cosine": q72_qgram_cosine,
         "q73_value_weights": q73_value_weights,
         "q74_multipass_blocking": q74_multipass_blocking,
+        "q75_bigram_novelty": q75_bigram_novelty,
     }
 
 
@@ -3289,5 +3300,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT id1, id2, in_phonetic, in_tokensort, in_snm,
                    in_phonetic + in_tokensort + in_snm AS n_passes
             FROM agg
+        """,
+        "q75_bigram_novelty": """
+            WITH base AS (SELECT doc_id,
+                                 string_split_regex(lower(text), '\\s+') AS l
+                          FROM documents),
+            pos_ AS (SELECT doc_id, l,
+                            CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos
+                     FROM base),
+            toks AS (SELECT doc_id, pos, l[pos] AS token
+                     FROM pos_ WHERE l[pos] <> ''),
+            doc_bigrams AS (SELECT DISTINCT a.doc_id,
+                                   a.token || ' ' || b.token AS bigram
+                            FROM toks a
+                            JOIN toks b ON b.doc_id = a.doc_id
+                                       AND b.pos = a.pos + 1),
+            dfreq AS (SELECT bigram, count(*) AS df
+                      FROM doc_bigrams GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel,
+                   CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) * 1000000
+                        // count(*) AS BIGINT) AS novelty_ppm
+            FROM doc_bigrams d JOIN dfreq f USING (bigram)
+            GROUP BY d.doc_id
         """,
     }

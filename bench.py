@@ -36,6 +36,9 @@ HEADLINE = [
     "q45_lsh_jaccard_rerank",
     "q55_decontaminate",
     "q58_dedup_clusters",
+    "q67_mutual_best_match",
+    "q72_qgram_cosine",
+    "q74_multipass_blocking",
 ]
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "word_ngram_array",
     "ngram_decontaminate",
     "repetition_signals",
+    "bigram_novelty",
     "pii_scrub",
     "PII_PATTERNS",
     "LANG_MARKERS",
@@ -407,3 +408,64 @@ def pii_scrub(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def bigram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-corpus bigram novelty: the fraction of a document's distinct
+    token bigrams that appear in NO other document — a cheap proxy for
+    "original content vs boilerplate" (near-zero novelty flags template/
+    spun text; the complement of the repetition signals, which are
+    within-document).
+
+    Fully relational: positional tokens (posexplode keeps split-array
+    ordinality; empty split artifacts are filtered on BOTH engines, so a
+    bigram spans two adjacent non-empty positions of the raw split array),
+    bigrams by a (doc, pos+1) self-join, document frequency over distinct
+    (doc, bigram), one final per-doc aggregation. Pure integers; novelty
+    as exact ppm. Documents with fewer than two tokens have no bigrams and
+    drop from the output.
+
+    Scale shape: the bigram self-join is keyed on (doc, position) — per-
+    document work, no cross-document blowup; the df census shuffles on the
+    bigram string (skew bounded by the most common bigram's df, and only
+    counts flow, never postings x postings).
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    t2 = toks.select(
+        F.col(id_col),
+        (F.col("pos") - 1).alias("pos"),
+        F.col("token").alias("token2"),
+    )
+    doc_bigrams = (
+        toks.join(t2, [id_col, "pos"])
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", "token", "token2").alias("bigram"),
+        )
+        .distinct()
+    )
+    dfreq = doc_bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        doc_bigrams.join(dfreq, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST(n_novel * 1000000 DIV n_bigrams AS BIGINT)"),
+        )
+    )

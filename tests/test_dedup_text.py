@@ -531,3 +531,23 @@ def test_shingle_containment_asymmetric(spark):
     assert r["containment1_ppm"] == 1_000_000  # short fully contained
     assert r["containment2_ppm"] < 500_000  # not vice versa
     assert r["intersection"] == r["size1"]
+
+
+def test_bigram_novelty(spark):
+    from name_matching_spark.operators.text_analysis import bigram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),      # bigrams: the-quick, quick-brown, brown-fox
+            (2, "the quick red fox"),        # shares "the quick"
+            (3, "single"),                   # <2 tokens: no output row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bigram_novelty(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 3
+    # only "the quick" is shared -> 2 of 3 novel
+    assert out[1]["n_novel"] == 2
+    assert out[1]["novelty_ppm"] == 666666
+    assert out[2]["n_novel"] == 2
