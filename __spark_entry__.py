@@ -1672,6 +1672,21 @@ def q75_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_novelty(docs)
 
 
+def q76_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration as a DataFrame job: deterministic-quantizer
+    assignment (q36's E-step) + exact fixed-point M-step. Distributed
+    float means are summation-order-dependent, so components quantize to
+    2^-40 fixed point (power-of-two scaling is IEEE-exact) and sum as
+    bigints — the engine-exact distributed-mean pattern."""
+    from name_matching_spark.operators.similarity_search import (
+        centroid_update,
+        ivf_assignments,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return centroid_update(ivf_assignments(emb, n_centroids=16))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1754,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_value_weights": q73_value_weights,
         "q74_multipass_blocking": q74_multipass_blocking,
         "q75_bigram_novelty": q75_bigram_novelty,
+        "q76_centroid_update": q76_centroid_update,
     }
 
 
@@ -3325,5 +3341,33 @@ def oracle_sql() -> dict[str, str]:
                         // count(*) AS BIGINT) AS novelty_ppm
             FROM doc_bigrams d JOIN dfreq f USING (bigram)
             GROUP BY d.doc_id
+        """,
+        "q76_centroid_update": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            en AS (SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS vn
+                   FROM e),
+            cent AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn
+                     FROM en ORDER BY vec_id LIMIT 16),
+            asn0 AS (SELECT en.vec_id, en.v, en.vn, cent.centroid_id,
+                       CASE WHEN en.vn = 0 OR cent.cn = 0 THEN 0.0
+                            ELSE list_sum(list_transform(range(1, len(en.v) + 1),
+                                   i -> en.v[i] * cent.cv[i])) / (en.vn * cent.cn) END AS csim
+                     FROM en, cent),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY csim DESC, centroid_id ASC) AS cr FROM asn0),
+            lists AS (SELECT vec_id, v, centroid_id FROM ranked WHERE cr = 1),
+            pos_ AS (SELECT centroid_id, v,
+                            CAST(unnest(range(1, len(v) + 1)) AS BIGINT) AS p
+                     FROM lists),
+            comp AS (SELECT centroid_id, CAST(p - 1 AS INT) AS dim,
+                            CAST(floor(v[p] * 1099511627776.0) AS BIGINT) AS sx
+                     FROM pos_)
+            SELECT centroid_id, dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(sx) AS BIGINT) AS sum_scaled,
+                   CAST(sum(sx) AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE) * 1099511627776.0) AS mean
+            FROM comp GROUP BY 1, 2
         """,
     }

@@ -25,6 +25,8 @@ __all__ = [
     "lsh_topk",
     "lsh_near_dupes",
     "ivf_topk",
+    "ivf_assignments",
+    "centroid_update",
     "banding_candidate_prob",
     "banding_config",
 ]
@@ -666,4 +668,89 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_assignments(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment under the deterministic coarse
+    quantizer (the ``n_centroids`` lowest-id corpus vectors — the same
+    quantizer :func:`ivf_topk` defaults to): broadcast centroids, one
+    kernel cosine per (vector, centroid), per-vector argmax window. The
+    E-step of Lloyd's algorithm / the list-building stage of IVF, exposed
+    for inverted-list maintenance and cluster analytics.
+
+    Output: ``(id_col, v, centroid_id, csim)`` — one row per corpus
+    vector. Shuffle shape: centroids broadcast; the only shuffle is the
+    per-vector window (partitioned by vector id).
+    """
+    cent = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
+    )
+    v = corpus.select(F.col(id_col), F.col(vec_col).alias("v"))
+    scored = _with_pair_cosine(
+        v.join(F.broadcast(cent), how="cross"), "v", "cv", out="csim",
+        drop=("cv",),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") == 1)
+        .select(id_col, "v", "centroid_id", "csim")
+    )
+
+
+# 2^40: fixed-point scale for cross-engine-exact distributed means. A
+# power-of-two multiply only shifts the exponent (exact in IEEE doubles),
+# so floor(x * 2^40) is the same integer in every engine and the summation
+# becomes exact bigint arithmetic — no float summation-order dependence.
+FIXED_POINT_SCALE = float(1 << 40)
+
+
+def centroid_update(
+    assigned: DataFrame,
+    vec_col: str = "v",
+    cluster_col: str = "centroid_id",
+) -> DataFrame:
+    """One Lloyd M-step: the mean vector per cluster, computed exactly.
+
+    Distributed float means are summation-order-dependent; here each
+    component is quantized to 2^-40 fixed point (``floor(x * 2^40)`` —
+    exact for |x| < 2^23, far above any normalized embedding), summed as
+    bigints (map-side partial aggregation; one shuffle on
+    (cluster, dim)), and the mean is one double division of exact
+    integers at the end. The 2^-40 quantization error (~1e-12) is twelve
+    orders below float32 input precision.
+
+    Long format out: ``(cluster_col, dim, n, sum_scaled, mean)`` — ready
+    to re-broadcast as the next iteration's centroids or to serve as
+    entity-level embeddings after ER clustering.
+    """
+    exploded = assigned.select(
+        F.col(cluster_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    )
+    scaled = exploded.withColumn(
+        "_sx",
+        F.floor(F.col("_x").cast("double") * F.lit(FIXED_POINT_SCALE)).cast(
+            "bigint"
+        ),
+    )
+    return (
+        scaled.groupBy(cluster_col, "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_sx").alias("sum_scaled"),
+        )
+        .withColumn(
+            "mean",
+            F.col("sum_scaled").cast("double")
+            / (F.col("n").cast("double") * F.lit(FIXED_POINT_SCALE)),
+        )
     )

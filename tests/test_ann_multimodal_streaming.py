@@ -388,3 +388,41 @@ def test_session_windows_merge_across_micro_batches(spark, tmp_path):
         assert s1[2] == 1 and s1[0] == dt.datetime(2024, 1, 1, 2, 30)
     finally:
         q.stop()
+
+
+def test_centroid_update_exact(spark):
+    from name_matching_spark.operators.similarity_search import (
+        FIXED_POINT_SCALE,
+        centroid_update,
+    )
+
+    rows = [
+        (1, [1.0, -0.5]),
+        (1, [3.0, 0.5]),
+        (2, [2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, ["centroid_id", "v"])
+    out = {
+        (r["centroid_id"], r["dim"]): r for r in centroid_update(df).collect()
+    }
+    # cluster 1 dim 0: mean(1, 3) = 2.0 exactly (power-of-two values)
+    assert out[(1, 0)]["n"] == 2
+    assert out[(1, 0)]["mean"] == 2.0
+    # negative component: floor(-0.5 * 2^40) = -2^39 exactly
+    assert out[(1, 1)]["sum_scaled"] == int(-(2**39) + 0.5 * FIXED_POINT_SCALE)
+    assert out[(1, 1)]["mean"] == 0.0
+    assert out[(2, 0)]["mean"] == 2.0
+
+
+def test_ivf_assignments_cover_all(spark):
+    from name_matching_spark.operators.similarity_search import ivf_assignments
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    asn = ivf_assignments(emb, n_centroids=8).collect()
+    assert len(asn) == n
+    cents = {r["centroid_id"] for r in asn}
+    assert cents.issubset(set(range(8)))
+    # each centroid vector is its own nearest centroid
+    own = {r["vec_id"]: r["centroid_id"] for r in asn if r["vec_id"] < 8}
+    assert own == {i: i for i in range(8)}
