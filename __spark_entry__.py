@@ -1687,6 +1687,32 @@ def q76_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_update(ivf_assignments(emb, n_centroids=16))
 
 
+def q77_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft TF-IDF (Cohen-Ravikumar-Fienberg) over phonetic-blocked pairs
+    — the hybrid token/string similarity: TF-IDF cosine with Jaro-Winkler
+    soft token matching at 0.9. Engine-exact via fixed-point quantization
+    of weights and contributions; JW from the bit-exact kernel/CTE pair."""
+    from name_matching_spark.operators.blocking import blocking_key_column
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+    from name_matching_spark.operators.score_pairs import soft_tfidf_pairs
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    keyed = norm.withColumn("block_key", blocking_key_column("phonetic"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.record_id") < F.col("b.record_id")),
+    ).select(
+        F.col("a.record_id").alias("id1"), F.col("b.record_id").alias("id2")
+    )
+    return soft_tfidf_pairs(
+        norm.select("record_id", "sorted_full"), pairs, "sorted_full",
+        threshold=0.9,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -1770,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_multipass_blocking": q74_multipass_blocking,
         "q75_bigram_novelty": q75_bigram_novelty,
         "q76_centroid_update": q76_centroid_update,
+        "q77_soft_tfidf": q77_soft_tfidf,
     }
 
 
@@ -2122,6 +2149,72 @@ def _q25_oracle() -> str:
               FROM r)
         SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
         FROM w WHERE rank <= 3
+    """
+
+
+def _q77_oracle() -> str:
+    """Soft TF-IDF oracle: mirrors ``score_pairs.soft_tfidf_pairs`` step
+    by step — integer tf/df/N, fixed-point (2^-20) quantized weights,
+    integer norm sums, JW once per DISTINCT token pair via the recursive-
+    CTE rendition (bit-equal to the kernel), argmax window with the same
+    tie-break, fixed-point (2^-40) contributions summed as bigints."""
+    from name_matching_spark.oracle_sql.jw import jw_cte_sql
+
+    return _PERSON_CTE + f""",
+        named AS (SELECT record_id,
+                         {_SORTED_FULL_SQL} AS sorted_full,
+                         upper(substr(first_name, 1, 1)) || '|' ||
+                             {_sdx_sql(_ORACLE_LAST)} AS block_key
+                  FROM person),
+        prs AS (SELECT a.record_id AS id1, b.record_id AS id2
+                FROM named a
+                JOIN named b ON a.block_key = b.block_key
+                            AND a.record_id < b.record_id),
+        tok AS (SELECT rid, token, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT record_id AS rid,
+                             unnest(string_split(sorted_full, ' ')) AS token
+                      FROM named)
+                WHERE token <> '' GROUP BY 1, 2),
+        dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                  FROM tok GROUP BY 1),
+        w AS (SELECT rid, token,
+                     CAST(floor(ln(CAST(tf AS DOUBLE) + 1.0)
+                                * ln(CAST((SELECT count(*) FROM named) AS DOUBLE)
+                                     / CAST(df AS DOUBLE))
+                                * 1048576.0) AS BIGINT) AS vq
+              FROM tok JOIN dfreq USING (token)),
+        nrm AS (SELECT rid, CAST(sum(vq * vq) AS BIGINT) AS sq
+                FROM w GROUP BY 1),
+        wn AS (SELECT w.rid, w.token,
+                      CASE WHEN n.sq > 0
+                           THEN CAST(w.vq AS DOUBLE) / sqrt(CAST(n.sq AS DOUBLE))
+                           ELSE 0.0 END AS vn
+               FROM w JOIN nrm n ON n.rid = w.rid),
+        tp AS (SELECT p.id1, p.id2, a.token AS t1, a.vn AS vn1,
+                      b.token AS t2, b.vn AS vn2
+               FROM prs p
+               JOIN wn a ON a.rid = p.id1
+               JOIN wn b ON b.rid = p.id2),
+        sp AS (SELECT DISTINCT t1 AS s1, t2 AS s2 FROM tp),
+        {jw_cte_sql("sp")},
+        st AS (SELECT tp.*, j.jw FROM tp
+               JOIN jw j ON j.s1 = tp.t1 AND j.s2 = tp.t2),
+        best AS (SELECT *, row_number() OVER (PARTITION BY id1, id2, t1
+                            ORDER BY jw DESC, t2 ASC) AS bn
+                 FROM st),
+        close AS (SELECT id1, id2,
+                         CAST(floor(vn1 * vn2 * jw * 1099511627776.0)
+                              AS BIGINT) AS cq
+                  FROM best WHERE bn = 1 AND jw >= 0.9),
+        agg AS (SELECT id1, id2, CAST(count(*) AS BIGINT) AS n_close,
+                       CAST(sum(cq) AS BIGINT) AS csum
+                FROM close GROUP BY 1, 2)
+        SELECT p.id1, p.id2,
+               COALESCE(a.n_close, 0) AS n_close,
+               CAST(COALESCE(a.csum, 0) AS DOUBLE) / 1099511627776.0
+                   AS soft_tfidf
+        FROM prs p
+        LEFT JOIN agg a ON a.id1 = p.id1 AND a.id2 = p.id2
     """
 
 
@@ -3370,4 +3463,5 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(count(*) AS DOUBLE) * 1099511627776.0) AS mean
             FROM comp GROUP BY 1, 2
         """,
+        "q77_soft_tfidf": _q77_oracle(),
     }

@@ -29,6 +29,7 @@ __all__ = [
     "top_k_per_record",
     "mutual_best_match",
     "qgram_cosine_pairs",
+    "soft_tfidf_pairs",
 ]
 
 
@@ -344,4 +345,122 @@ def qgram_cosine_pairs(
             F.col("dot") / (F.sqrt(F.col("sq1")) * F.sqrt(F.col("sq2"))),
         )
         .select("id1", "id2", "dot", "sq1", "sq2", "qgram_cosine")
+    )
+
+
+# 2^20 / 2^40: fixed-point scales making Soft TF-IDF exact across engines.
+# A power-of-two multiply only shifts the IEEE exponent, so floor(x * 2^k)
+# is the same integer everywhere and aggregation becomes exact bigint math
+# (no float summation-order dependence) — the same pattern as
+# similarity_search.centroid_update.
+_STFIDF_W_SCALE = float(1 << 20)
+_STFIDF_C_SCALE = float(1 << 40)
+
+
+def soft_tfidf_pairs(
+    records: DataFrame,
+    pairs: DataFrame,
+    name_col: str,
+    id_col: str = "record_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Soft TF-IDF (Cohen, Ravikumar & Fienberg 2003) for candidate pairs
+    — the hybrid string similarity that consistently tops ER benchmarks:
+    token-level TF-IDF cosine, but tokens match *softly* via a secondary
+    similarity (Jaro-Winkler here) at ``threshold``:
+
+        score(s, t) = Σ_{w ∈ CLOSE(s,t)} V'(w,s) · V'(best(w,t),t) · JW(w, best)
+
+    with ``V(w,s) = ln(tf+1) · ln(N/df)`` L2-normalized per record and
+    ``best(w,t)`` the t-token maximizing JW (ties to the lexicographically
+    smaller token).
+
+    Engine-exact by construction: tf/df/N are integers, the raw weight is
+    one fixed expression over them, weights quantize to 2^-20 fixed point
+    (integer norm sums), JW comes from the bit-exact kernel/CTE pair, and
+    per-pair contributions quantize to 2^-40 before the final integer sum
+    — no step depends on float summation order.
+
+    Plan shape: token postings joined to pairs (bounded by pair count ×
+    tokens-per-name²), JW computed once per DISTINCT token pair (the
+    memoization the repo's kernels apply per batch, lifted to the plan),
+    one argmax window, one aggregation. Pairs with no close tokens emit
+    score 0.
+    """
+    from name_matching_spark.functions.udfs import jaro_winkler_udf
+
+    n_records = records.count()
+    tok = (
+        records.select(
+            F.col(id_col).alias("_rid"),
+            F.explode(F.split(F.col(name_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("_rid", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = tok.join(dfreq, "token").withColumn(
+        "vq",
+        F.floor(
+            F.log(F.col("tf").cast("double") + F.lit(1.0))
+            * F.log(F.lit(float(n_records)) / F.col("df").cast("double"))
+            * F.lit(_STFIDF_W_SCALE)
+        ).cast("bigint"),
+    )
+    norms = w.groupBy("_rid").agg(
+        F.sum(F.col("vq") * F.col("vq")).alias("sq")
+    )
+    wn = w.join(norms, "_rid").withColumn(
+        "vn",
+        F.when(
+            F.col("sq") > 0,
+            F.col("vq").cast("double") / F.sqrt(F.col("sq").cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+    w1 = wn.select(
+        F.col("_rid").alias("id1"),
+        F.col("token").alias("t1"),
+        F.col("vn").alias("vn1"),
+    )
+    w2 = wn.select(
+        F.col("_rid").alias("id2"),
+        F.col("token").alias("t2"),
+        F.col("vn").alias("vn2"),
+    )
+    tp = pairs.select("id1", "id2").join(w1, "id1").join(w2, "id2")
+    dist = tp.select("t1", "t2").distinct().withColumn(
+        "jw", jaro_winkler_udf(F.col("t1"), F.col("t2"))
+    )
+    scored_tok = tp.join(dist, ["t1", "t2"])
+    best_w = Window.partitionBy("id1", "id2", "t1").orderBy(
+        F.desc("jw"), F.asc("t2")
+    )
+    close = (
+        scored_tok.withColumn("_bn", F.row_number().over(best_w))
+        .filter((F.col("_bn") == 1) & (F.col("jw") >= F.lit(float(threshold))))
+        .withColumn(
+            "cq",
+            F.floor(
+                F.col("vn1") * F.col("vn2") * F.col("jw")
+                * F.lit(_STFIDF_C_SCALE)
+            ).cast("bigint"),
+        )
+    )
+    agg = close.groupBy("id1", "id2").agg(
+        F.count(F.lit(1)).alias("n_close"),
+        F.sum("cq").alias("_csum"),
+    )
+    return (
+        pairs.select("id1", "id2")
+        .join(agg, ["id1", "id2"], "left")
+        .select(
+            "id1",
+            "id2",
+            F.coalesce(F.col("n_close"), F.lit(0)).alias("n_close"),
+            (
+                F.coalesce(F.col("_csum"), F.lit(0)).cast("double")
+                / F.lit(_STFIDF_C_SCALE)
+            ).alias("soft_tfidf"),
+        )
     )

@@ -360,3 +360,42 @@ def test_multipass_blocking_provenance(spark):
     assert out["in_snm"].sum() > 0
     # multi-pass must add pairs beyond any single pass
     assert len(out) > out["in_phonetic"].sum() or len(out) > out["in_snm"].sum()
+
+
+def test_soft_tfidf_semantics(spark):
+    import math
+
+    from name_matching_spark.operators.score_pairs import soft_tfidf_pairs
+
+    recs = spark.createDataFrame(
+        [(1, "maria cruz"), (2, "maria crux"), (3, "pedro gomez")],
+        ["record_id", "name"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id1", "id2"])
+    out = {
+        (r["id1"], r["id2"]): r
+        for r in soft_tfidf_pairs(recs, pairs, "name", threshold=0.9).collect()
+    }
+    # JW(cruz, crux) = 0.8833 < 0.9 -> only "maria" is close for (1,2)
+    assert out[(1, 2)]["n_close"] == 1
+    v_m = math.log(2.0) * math.log(3.0 / 2.0)
+    v_c = math.log(2.0) * math.log(3.0)
+    vn_m = v_m / math.hypot(v_m, v_c)
+    assert out[(1, 2)]["soft_tfidf"] == pytest.approx(vn_m * vn_m, abs=1e-3)
+    # no shared/close tokens with pedro gomez
+    assert out[(1, 3)]["n_close"] == 0
+    assert out[(1, 3)]["soft_tfidf"] == 0.0
+
+
+def test_soft_tfidf_identical_names_score_one(spark):
+    from name_matching_spark.operators.score_pairs import soft_tfidf_pairs
+
+    recs = spark.createDataFrame(
+        [(1, "ana reyes santos"), (2, "ana reyes santos"), (3, "ana lopez")],
+        ["record_id", "name"],
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id1", "id2"])
+    r = soft_tfidf_pairs(recs, pairs, "name").collect()[0]
+    # identical token sets: TF-IDF cosine of a vector with itself = 1
+    assert r["n_close"] == 3
+    assert r["soft_tfidf"] == pytest.approx(1.0, abs=1e-4)
