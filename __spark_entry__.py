@@ -1687,6 +1687,18 @@ def q76_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_update(ivf_assignments(emb, n_centroids=16))
 
 
+def q78_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter parameters via 2 EM iterations over the
+    blocked agreement patterns (no labels — the Splink/fastLink core).
+    Responsibilities quantized to 2^-30 fixed point per iteration, so the
+    M-step sums are exact integers and both engines derive bit-identical
+    parameters."""
+    from name_matching_spark.operators.probabilistic import em_estimate
+
+    lab = _fs_labeled_pairs(spark, sf_dir).drop("true_label")
+    return em_estimate(lab, _FS_FIELDS, n_iter=2)
+
+
 def q77_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft TF-IDF (Cohen-Ravikumar-Fienberg) over phonetic-blocked pairs
     — the hybrid token/string similarity: TF-IDF cosine with Jaro-Winkler
@@ -1797,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_bigram_novelty": q75_bigram_novelty,
         "q76_centroid_update": q76_centroid_update,
         "q77_soft_tfidf": q77_soft_tfidf,
+        "q78_em_params": q78_em_params,
     }
 
 
@@ -2215,6 +2228,98 @@ def _q77_oracle() -> str:
                    AS soft_tfidf
         FROM prs p
         LEFT JOIN agg a ON a.id1 = p.id1 AND a.id2 = p.id2
+    """
+
+
+def _q78_oracle() -> str:
+    """EM oracle: mirrors ``probabilistic.em_estimate`` (2 iterations) —
+    the iteration-1 E-step inlines the init parameters as repr'd Python
+    floats (1.0 - 0.9 etc. evaluated in Python, exactly as the Spark
+    literals are built); iteration-2 parameters are CTE columns derived
+    from the exact integer sums. All responsibility sums are 2^-30
+    fixed-point bigints on both sides."""
+    S = 1 << 30
+    fields = [("agree_first", "first"), ("agree_last", "last"),
+              ("agree_birth_year", "by")]
+    init_m, init_u, init_lam = 0.9, 0.1, 0.1
+
+    # every literal is ::DOUBLE — DuckDB parses bare float literals as
+    # DECIMAL and chained decimal multiplication overflows the max scale
+    def estep_lit() -> str:
+        pm = f"{init_lam!r}::DOUBLE"
+        pu = f"{1.0 - init_lam!r}::DOUBLE"
+        for col, _ in fields:
+            pm = (f"({pm} * CASE WHEN {col} THEN {init_m!r}::DOUBLE "
+                  f"ELSE {1.0 - init_m!r}::DOUBLE END)")
+            pu = (f"({pu} * CASE WHEN {col} THEN {init_u!r}::DOUBLE "
+                  f"ELSE {1.0 - init_u!r}::DOUBLE END)")
+        return f"(({pm}) / (({pm}) + ({pu})))"
+
+    def estep_col() -> str:
+        pm = "lam"
+        pu = "(1.0::DOUBLE - lam)"
+        for col, sfx in fields:
+            pm = (f"({pm} * CASE WHEN {col} THEN m_{sfx} "
+                  f"ELSE (1.0::DOUBLE - m_{sfx}) END)")
+            pu = (f"({pu} * CASE WHEN {col} THEN u_{sfx} "
+                  f"ELSE (1.0::DOUBLE - u_{sfx}) END)")
+        return f"(({pm}) / (({pm}) + ({pu})))"
+
+    def sums(src: str) -> str:
+        parts = [
+            f"CAST(count(*) AS BIGINT) AS n",
+            f"CAST(sum(pq) AS BIGINT) AS s",
+        ]
+        for col, sfx in fields:
+            parts.append(
+                f"CAST(sum(pq * CASE WHEN {col} THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS sm_{sfx}"
+            )
+            parts.append(
+                f"CAST(sum(({S} - pq) * CASE WHEN {col} THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS su_{sfx}"
+            )
+        return f"SELECT {', '.join(parts)} FROM {src}"
+
+    def params(src: str) -> str:
+        # Laplace(+S): mirrors em_estimate's quantized-domain smoothing
+        parts = []
+        for _, sfx in fields:
+            parts.append(
+                f"CAST(sm_{sfx} + {S} AS DOUBLE)"
+                f" / CAST(s + {2 * S} AS DOUBLE) AS m_{sfx}"
+            )
+            parts.append(
+                f"CAST(su_{sfx} + {S} AS DOUBLE)"
+                f" / CAST(n * {S} - s + {2 * S} AS DOUBLE) AS u_{sfx}"
+            )
+        parts.append(
+            f"CAST(s + {S} AS DOUBLE)"
+            f" / CAST(n * {S} + {2 * S} AS DOUBLE) AS lam"
+        )
+        parts.append("n AS n_pairs")
+        return f"SELECT {', '.join(parts)} FROM {src}"
+
+    finals = []
+    for col, sfx in fields:
+        finals.append(
+            f"SELECT '{col}' AS field, m_{sfx} AS m, u_{sfx} AS u, lam,"
+            f" n_pairs, log2(m_{sfx} / u_{sfx}) AS agree_weight,"
+            f" log2((1.0::DOUBLE - m_{sfx}) / (1.0::DOUBLE - u_{sfx})) AS disagree_weight"
+            f" FROM par2"
+        )
+    return _fs_oracle_ctes() + f""",
+        e1 AS (SELECT p.*,
+                      CAST(floor({estep_lit()} * {float(S)!r}::DOUBLE) AS BIGINT) AS pq
+               FROM fs_pairs p),
+        s1 AS ({sums("e1")}),
+        par1 AS ({params("s1")}),
+        e2 AS (SELECT p.*,
+                      CAST(floor({estep_col()} * {float(S)!r}::DOUBLE) AS BIGINT) AS pq
+               FROM fs_pairs p CROSS JOIN par1),
+        s2 AS ({sums("e2")}),
+        par2 AS ({params("s2")})
+        {' UNION ALL '.join(finals)}
     """
 
 
@@ -3464,4 +3569,5 @@ def oracle_sql() -> dict[str, str]:
             FROM comp GROUP BY 1, 2
         """,
         "q77_soft_tfidf": _q77_oracle(),
+        "q78_em_params": _q78_oracle(),
     }

@@ -29,6 +29,7 @@ __all__ = [
     "fs_score_pairs",
     "value_frequency_weights",
     "frequency_weighted_pairs",
+    "em_estimate",
 ]
 
 
@@ -226,3 +227,93 @@ def frequency_weighted_pairs(
         total = w if total is None else total + w
     cols.append(total.alias("vf_weight"))
     return j.select(*cols)
+
+
+# 2^30: fixed-point scale for EM responsibilities — the engine-exact
+# distributed-sum pattern (power-of-two scaling is IEEE-exact; see
+# similarity_search.centroid_update). The quantized complement (S - pq)
+# stands in for (1 - p): exact in the integer domain, deterministic.
+_EM_P_SCALE = 1 << 30
+
+
+def em_estimate(
+    pairs: DataFrame,
+    agreement_cols: list[str],
+    n_iter: int = 2,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.1,
+) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter parameter estimation via
+    expectation-maximization (the Splink/fastLink core): no labels — the
+    two-class mixture over agreement patterns is fit directly.
+
+    E-step: each pair's match responsibility under current parameters,
+        p_i = λ·Π_f m-term / (λ·Π_f m-term + (1-λ)·Π_f u-term)
+    (independence a la naive Bayes, the standard FS assumption).
+    M-step: m_f = Σ p_i·agree / Σ p_i, u_f likewise with (1-p_i), λ = mean p.
+
+    A FIXED iteration count keeps the job deterministic; each iteration is
+    one scan + one aggregation (map-side combine — the shuffle carries one
+    partial row per task), with responsibilities quantized to 2^-30 fixed
+    point so every sum is exact bigint arithmetic and updated parameters
+    are single divisions of exact integers — identical doubles in any
+    engine, no float summation-order dependence. Parameter scalars ride
+    the driver between iterations (2 one-row collects for n_iter=2).
+
+    Output: one row per field — ``field, m, u, lam, n_pairs`` (+
+    ``agree_weight``/``disagree_weight`` log2 likelihood ratios, directly
+    usable by :func:`fs_score_pairs`).
+    """
+    cols = list(agreement_cols)
+    m = {f: float(init_m) for f in cols}
+    u = {f: float(init_u) for f in cols}
+    lam = float(init_lambda)
+    n_pairs = None
+    S = _EM_P_SCALE
+
+    for _ in range(n_iter):
+        pm = F.lit(lam)
+        pu = F.lit(1.0 - lam)
+        for f in cols:
+            pm = pm * F.when(F.col(f), F.lit(m[f])).otherwise(F.lit(1.0 - m[f]))
+            pu = pu * F.when(F.col(f), F.lit(u[f])).otherwise(F.lit(1.0 - u[f]))
+        p = pm / (pm + pu)
+        e = pairs.withColumn(
+            "_pq", F.floor(p * F.lit(float(S))).cast("bigint")
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_pq").alias("s"),
+        ]
+        for f in cols:
+            a = F.col(f).cast("bigint")
+            aggs.append(F.sum(F.col("_pq") * a).alias(f"_sm_{f}"))
+            aggs.append(F.sum((F.lit(S) - F.col("_pq")) * a).alias(f"_su_{f}"))
+        row = e.agg(*aggs).collect()[0]
+        n_pairs, s = int(row["n"]), int(row["s"])
+        tot_u = n_pairs * S - s
+        # Laplace(+1 pseudo-pair, i.e. +S in the quantized domain) keeps
+        # every parameter strictly inside (0, 1): a field the blocking key
+        # forces to always-agree (e.g. exact-last-name blocks) would
+        # otherwise drive m = u = 1 and the log2 weights to 0/0
+        for f in cols:
+            m[f] = float(row[f"_sm_{f}"] + S) / float(s + 2 * S)
+            u[f] = float(row[f"_su_{f}"] + S) / float(tot_u + 2 * S)
+        lam = float(s + S) / float(n_pairs * S + 2 * S)
+
+    spark = pairs.sparkSession
+    out_rows = [
+        (f, m[f], u[f], lam, n_pairs) for f in cols
+    ]
+    res = spark.createDataFrame(
+        out_rows, "field string, m double, u double, lam double, n_pairs long"
+    )
+    lg = lambda c: F.log2(c)  # noqa: E731
+    return res.select(
+        "*",
+        lg(F.col("m") / F.col("u")).alias("agree_weight"),
+        lg((F.lit(1.0) - F.col("m")) / (F.lit(1.0) - F.col("u"))).alias(
+            "disagree_weight"
+        ),
+    )

@@ -399,3 +399,33 @@ def test_soft_tfidf_identical_names_score_one(spark):
     # identical token sets: TF-IDF cosine of a vector with itself = 1
     assert r["n_close"] == 3
     assert r["soft_tfidf"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_em_estimate_separates_mixture(spark):
+    """EM with no labels recovers m >> u for a discriminative field on a
+    planted two-class mixture, and every parameter stays strictly in
+    (0,1) (Laplace smoothing), even for a field that always agrees."""
+    import random
+
+    from name_matching_spark.operators.probabilistic import em_estimate
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(500):
+        if rng.random() < 0.3:  # true match pairs: fields mostly agree
+            rows.append((rng.random() < 0.95, rng.random() < 0.9, True))
+        else:  # non-matches: fields rarely agree
+            rows.append((rng.random() < 0.15, rng.random() < 0.1, True))
+    df = spark.createDataFrame(rows, ["agree_a", "agree_b", "agree_const"])
+    out = {
+        r["field"]: r
+        for r in em_estimate(
+            df, ["agree_a", "agree_b", "agree_const"], n_iter=3
+        ).collect()
+    }
+    for f, r in out.items():
+        assert 0.0 < r["m"] < 1.0 and 0.0 < r["u"] < 1.0
+        assert 0.0 < r["lam"] < 1.0
+    assert out["agree_a"]["m"] > 0.7 > 0.35 > out["agree_a"]["u"]
+    assert out["agree_b"]["m"] > out["agree_b"]["u"]
+    assert out["agree_a"]["agree_weight"] > 0 > out["agree_a"]["disagree_weight"]
