@@ -1699,6 +1699,28 @@ def q78_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em_estimate(lab, _FS_FIELDS, n_iter=2)
 
 
+def q79_em_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unsupervised pipeline end to end (Splink's estimate->predict):
+    EM-fitted parameters applied to every blocked pair as a posterior
+    match probability, plus the exact 2^-30 integer form as a
+    deterministic threshold key."""
+    from name_matching_spark.operators.probabilistic import (
+        em_estimate,
+        em_match_probability,
+    )
+
+    lab = _fs_labeled_pairs(spark, sf_dir).drop("true_label")
+    params = em_estimate(lab, _FS_FIELDS, n_iter=2)
+    out = em_match_probability(lab, params, _FS_FIELDS)
+    return out.select(
+        "id1",
+        "id2",
+        *[F.col(f).cast("int").alias(f) for f in _FS_FIELDS],
+        "match_probability",
+        "match_q30",
+    )
+
+
 def q77_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft TF-IDF (Cohen-Ravikumar-Fienberg) over phonetic-blocked pairs
     — the hybrid token/string similarity: TF-IDF cosine with Jaro-Winkler
@@ -1810,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_centroid_update": q76_centroid_update,
         "q77_soft_tfidf": q77_soft_tfidf,
         "q78_em_params": q78_em_params,
+        "q79_em_predict": q79_em_predict,
     }
 
 
@@ -2231,13 +2254,15 @@ def _q77_oracle() -> str:
     """
 
 
-def _q78_oracle() -> str:
-    """EM oracle: mirrors ``probabilistic.em_estimate`` (2 iterations) —
-    the iteration-1 E-step inlines the init parameters as repr'd Python
-    floats (1.0 - 0.9 etc. evaluated in Python, exactly as the Spark
-    literals are built); iteration-2 parameters are CTE columns derived
-    from the exact integer sums. All responsibility sums are 2^-30
-    fixed-point bigints on both sides."""
+def _em_oracle_chain() -> tuple[str, str]:
+    """EM oracle chain: mirrors ``probabilistic.em_estimate``
+    (2 iterations) — the iteration-1 E-step inlines the init parameters
+    as repr'd Python floats (1.0 - 0.9 etc. evaluated in Python, exactly
+    as the Spark literals are built); iteration-2 parameters are CTE
+    columns derived from the exact integer sums. All responsibility sums
+    are 2^-30 fixed-point bigints on both sides. Returns (with_chain
+    ending at CTE ``par2``, the column-parameterized E-step expression
+    for reuse in the predict oracle)."""
     S = 1 << 30
     fields = [("agree_first", "first"), ("agree_last", "last"),
               ("agree_birth_year", "by")]
@@ -2300,15 +2325,7 @@ def _q78_oracle() -> str:
         parts.append("n AS n_pairs")
         return f"SELECT {', '.join(parts)} FROM {src}"
 
-    finals = []
-    for col, sfx in fields:
-        finals.append(
-            f"SELECT '{col}' AS field, m_{sfx} AS m, u_{sfx} AS u, lam,"
-            f" n_pairs, log2(m_{sfx} / u_{sfx}) AS agree_weight,"
-            f" log2((1.0::DOUBLE - m_{sfx}) / (1.0::DOUBLE - u_{sfx})) AS disagree_weight"
-            f" FROM par2"
-        )
-    return _fs_oracle_ctes() + f""",
+    chain = _fs_oracle_ctes() + f""",
         e1 AS (SELECT p.*,
                       CAST(floor({estep_lit()} * {float(S)!r}::DOUBLE) AS BIGINT) AS pq
                FROM fs_pairs p),
@@ -2319,7 +2336,39 @@ def _q78_oracle() -> str:
                FROM fs_pairs p CROSS JOIN par1),
         s2 AS ({sums("e2")}),
         par2 AS ({params("s2")})
-        {' UNION ALL '.join(finals)}
+    """
+    return chain, estep_col()
+
+
+def _q78_oracle() -> str:
+    chain, _ = _em_oracle_chain()
+    fields = [("agree_first", "first"), ("agree_last", "last"),
+              ("agree_birth_year", "by")]
+    finals = []
+    for col, sfx in fields:
+        finals.append(
+            f"SELECT '{col}' AS field, m_{sfx} AS m, u_{sfx} AS u, lam,"
+            f" n_pairs, log2(m_{sfx} / u_{sfx}) AS agree_weight,"
+            f" log2((1.0::DOUBLE - m_{sfx}) / (1.0::DOUBLE - u_{sfx})) AS disagree_weight"
+            f" FROM par2"
+        )
+    return chain + " " + " UNION ALL ".join(finals)
+
+
+def _q79_oracle() -> str:
+    """Predict oracle: the q78 chain's final (par2) parameters applied to
+    every blocked pair — same column-parameterized E-step expression."""
+    chain, estep = _em_oracle_chain()
+    S = 1 << 30
+    return chain + f"""
+        SELECT p.id1, p.id2,
+               CAST(p.agree_first AS INT) AS agree_first,
+               CAST(p.agree_last AS INT) AS agree_last,
+               CAST(p.agree_birth_year AS INT) AS agree_birth_year,
+               {estep} AS match_probability,
+               CAST(floor({estep} * {float(S)!r}::DOUBLE) AS BIGINT)
+                   AS match_q30
+        FROM fs_pairs p CROSS JOIN par2
     """
 
 
@@ -3570,4 +3619,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q77_soft_tfidf": _q77_oracle(),
         "q78_em_params": _q78_oracle(),
+        "q79_em_predict": _q79_oracle(),
     }

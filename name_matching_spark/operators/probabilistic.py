@@ -30,6 +30,7 @@ __all__ = [
     "value_frequency_weights",
     "frequency_weighted_pairs",
     "em_estimate",
+    "em_match_probability",
 ]
 
 
@@ -315,5 +316,45 @@ def em_estimate(
         lg(F.col("m") / F.col("u")).alias("agree_weight"),
         lg((F.lit(1.0) - F.col("m")) / (F.lit(1.0) - F.col("u"))).alias(
             "disagree_weight"
+        ),
+    )
+
+
+def em_match_probability(
+    pairs: DataFrame,
+    params: DataFrame,
+    agreement_cols: list[str],
+) -> DataFrame:
+    """The predict step over EM-estimated parameters (Splink's
+    ``predict()``): per-pair posterior match probability under the fitted
+    naive-Bayes mixture,
+
+        P(match | pattern) = λ·Π m-term / (λ·Π m-term + (1-λ)·Π u-term).
+
+    ``params`` is :func:`em_estimate` output (one row per field + the
+    shared λ) — collected (|fields| rows) and inlined as literals, so the
+    pair frame needs no join. The probability is also emitted as an exact
+    2^-30 fixed-point integer (``match_ppb``-style), giving a
+    deterministic sort/threshold key.
+    """
+    rows = {r["field"]: r for r in params.collect()}
+    missing = [c for c in agreement_cols if c not in rows]
+    if missing:
+        raise ValueError(f"no EM params for fields: {missing}")
+    lam = float(next(iter(rows.values()))["lam"])
+    pm = F.lit(lam)
+    pu = F.lit(1.0 - lam)
+    for f in agreement_cols:
+        m = float(rows[f]["m"])
+        u = float(rows[f]["u"])
+        pm = pm * F.when(F.col(f), F.lit(m)).otherwise(F.lit(1.0 - m))
+        pu = pu * F.when(F.col(f), F.lit(u)).otherwise(F.lit(1.0 - u))
+    p = pm / (pm + pu)
+    return pairs.withColumn(
+        "match_probability", p
+    ).withColumn(
+        "match_q30",
+        F.floor(F.col("match_probability") * F.lit(float(_EM_P_SCALE))).cast(
+            "bigint"
         ),
     )
