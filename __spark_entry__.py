@@ -1721,6 +1721,30 @@ def q79_em_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clerical-review queue: the 50 pairs nearest the posterior decision
+    boundary (|p - 0.5| ascending over the exact 2^-30 integer — fully
+    deterministic ordering), the active-learning / manual-review sampling
+    step of the FS workflow."""
+    from name_matching_spark.operators.probabilistic import (
+        em_estimate,
+        em_match_probability,
+    )
+
+    lab = _fs_labeled_pairs(spark, sf_dir).drop("true_label")
+    params = em_estimate(lab, _FS_FIELDS, n_iter=2)
+    out = em_match_probability(lab, params, _FS_FIELDS)
+    half = 1 << 29
+    return (
+        out.withColumn(
+            "boundary_dist", F.abs(F.col("match_q30") - F.lit(half))
+        )
+        .orderBy(F.asc("boundary_dist"), F.asc("id1"), F.asc("id2"))
+        .limit(50)
+        .select("id1", "id2", "match_probability", "boundary_dist")
+    )
+
+
 def q77_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft TF-IDF (Cohen-Ravikumar-Fienberg) over phonetic-blocked pairs
     — the hybrid token/string similarity: TF-IDF cosine with Jaro-Winkler
@@ -1833,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_soft_tfidf": q77_soft_tfidf,
         "q78_em_params": q78_em_params,
         "q79_em_predict": q79_em_predict,
+        "q80_review_queue": q80_review_queue,
     }
 
 
@@ -2369,6 +2394,20 @@ def _q79_oracle() -> str:
                CAST(floor({estep} * {float(S)!r}::DOUBLE) AS BIGINT)
                    AS match_q30
         FROM fs_pairs p CROSS JOIN par2
+    """
+
+
+def _q80_oracle() -> str:
+    chain, estep = _em_oracle_chain()
+    S = 1 << 30
+    return chain + f"""
+        SELECT id1, id2, match_probability, boundary_dist FROM (
+            SELECT p.id1, p.id2, {estep} AS match_probability,
+                   abs(CAST(floor({estep} * {float(S)!r}::DOUBLE) AS BIGINT)
+                       - {1 << 29}) AS boundary_dist
+            FROM fs_pairs p CROSS JOIN par2)
+        ORDER BY boundary_dist ASC, id1 ASC, id2 ASC
+        LIMIT 50
     """
 
 
@@ -3620,4 +3659,5 @@ def oracle_sql() -> dict[str, str]:
         "q77_soft_tfidf": _q77_oracle(),
         "q78_em_params": _q78_oracle(),
         "q79_em_predict": _q79_oracle(),
+        "q80_review_queue": _q80_oracle(),
     }
