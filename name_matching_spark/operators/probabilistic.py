@@ -262,6 +262,11 @@ def em_estimate(
     engine, no float summation-order dependence. Parameter scalars ride
     the driver between iterations (2 one-row collects for n_iter=2).
 
+    Scale bound: the bigint sums need ``n_pairs * 2^30 < 2^63`` (~8.6e9
+    pairs). Beyond that, estimate on a deterministic blocked sample (the
+    standard Splink practice) and apply the parameters to the full pair
+    frame with :func:`em_match_probability` (literal inlining — no join).
+
     Output: one row per field — ``field, m, u, lam, n_pairs`` (+
     ``agree_weight``/``disagree_weight`` log2 likelihood ratios, directly
     usable by :func:`fs_score_pairs`).
