@@ -1249,6 +1249,48 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q81_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion audit of the q58 dedup clustering: per multi-member
+    cluster, matched edges vs possible pairs (integer ppm). Low cohesion
+    flags chain-merged clusters (a-b and b-c matched, a-c did not) — the
+    transitive-closure overreach reviewers look for. Edge list + component
+    labels only; no pair re-materialization."""
+    from name_matching_spark.operators.clustering import assign_clusters
+    from name_matching_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_jaccard_rerank,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_len=5)
+    pairs = shingle_jaccard_rerank(docs, cand, threshold=0.5, shingle_len=5)
+    comp = assign_clusters(
+        docs.select(F.col("doc_id").alias("record_id")),
+        pairs.select("id1", "id2"),
+    ).select(F.col("record_id").alias("doc_id"), "cluster_id")
+    members = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    edges = (
+        pairs.join(comp.withColumnsRenamed({"doc_id": "id1"}), "id1")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        members.filter(F.col("n_members") >= 2)
+        .join(edges, "cluster_id", "left")
+        .withColumn("n_edges", F.coalesce(F.col("n_edges"), F.lit(0)))
+        .withColumn(
+            "cohesion_ppm",
+            F.expr(
+                "CAST(n_edges * 1000000 DIV "
+                "(n_members * (n_members - 1) DIV 2) AS BIGINT)"
+            ),
+        )
+        .select("cluster_id", "n_members", "n_edges", "cohesion_ppm")
+    )
+
+
 def q59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (merge/purge): global rank over the
     token-sorted name key WITHOUT a single-partition sort (range repartition
@@ -1858,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_em_params": q78_em_params,
         "q79_em_predict": q79_em_predict,
         "q80_review_queue": q80_review_queue,
+        "q81_cluster_cohesion": q81_cluster_cohesion,
     }
 
 
@@ -3660,4 +3703,32 @@ def oracle_sql() -> dict[str, str]:
         "q78_em_params": _q78_oracle(),
         "q79_em_predict": _q79_oracle(),
         "q80_review_queue": _q80_oracle(),
+        "q81_cluster_cohesion": "WITH RECURSIVE "
+        + _lsh_rerank_ctes
+        + """,
+            pairs AS (SELECT id1, id2 FROM j
+                      WHERE CAST(intersection AS DOUBLE) /
+                            (size1 + size2 - intersection) >= 0.5),
+            edges2 AS (SELECT id1 AS a, id2 AS b FROM pairs
+                       UNION SELECT id2, id1 FROM pairs),
+            lbl(node, root) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.b, l.root FROM lbl l JOIN edges2 e ON l.node = e.a
+            ),
+            comp AS (SELECT node AS doc_id, min(root) AS cluster_id
+                     FROM lbl GROUP BY 1),
+            members AS (SELECT cluster_id, count(*) AS n_members
+                        FROM comp GROUP BY 1),
+            ec AS (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+                   FROM pairs p JOIN comp c ON c.doc_id = p.id1
+                   GROUP BY 1)
+            SELECT m.cluster_id, CAST(m.n_members AS BIGINT) AS n_members,
+                   COALESCE(e.n_edges, 0) AS n_edges,
+                   CAST(COALESCE(e.n_edges, 0) * 1000000
+                        // (m.n_members * (m.n_members - 1) // 2)
+                        AS BIGINT) AS cohesion_ppm
+            FROM members m LEFT JOIN ec e USING (cluster_id)
+            WHERE m.n_members >= 2
+        """,
     }
