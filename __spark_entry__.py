@@ -1291,6 +1291,41 @@ def q81_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell delete-1 edit-distance join over the person-name word
+    vocabulary: every pair of distinct lowercase name tokens at full
+    Damerau-Levenshtein distance <= 1 (catches the corpus's injected
+    adjacent-transposition typos). Candidates come from ONE equi-join on
+    the delete-1 variant string (O(V*L) keys); the exact DL kernel rejects
+    false candidates. The oracle is the exact O(V^2) all-pairs recursive-CTE
+    DL, so hash equality proves the neighborhood join has recall = 1.
+    Reference fuzzy path: ``src/matcher.py:245``."""
+    from name_matching_spark.functions.udfs import dl_distance_udf
+    from name_matching_spark.operators.blocking import symspell_delete1_pairs
+
+    person = _person_df(spark, sf_dir)
+    words = (
+        person.select(
+            F.explode(
+                F.split(
+                    F.lower(
+                        F.concat_ws(" ", "first_name", "middle_name_last_name")
+                    ),
+                    " ",
+                )
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    pairs = symspell_delete1_pairs(words, "word")
+    return (
+        pairs.withColumn("dl_dist", dl_distance_udf(F.col("w1"), F.col("w2")))
+        .filter(F.col("dl_dist") <= 1)
+        .select("w1", "w2", "dl_dist")
+    )
+
+
 def q59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (merge/purge): global rank over the
     token-sorted name key WITHOUT a single-partition sort (range repartition
@@ -1901,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_em_predict": q79_em_predict,
         "q80_review_queue": q80_review_queue,
         "q81_cluster_cohesion": q81_cluster_cohesion,
+        "q82_symspell_pairs": q82_symspell_pairs,
     }
 
 
@@ -2149,6 +2185,29 @@ SELECT p.id1, p.id2,
        coalesce(me.me_dl, 0.0::DOUBLE) AS score_monge_elkan_dl
 FROM pairs p
 LEFT JOIN me ON me.fl1 = p.fl1 AND me.fl2 = p.fl2
+"""
+
+
+def _q82_oracle() -> str:
+    """Exact ALL-PAIRS full-DL oracle for the SymSpell delete-1 join: every
+    unordered pair of distinct vocabulary words through the recursive-CTE
+    DL (``oracle_sql/dl.py``), kept at distance <= 1. Spark only *scores*
+    pairs surfaced by the delete-1 neighborhood equi-join, so hash equality
+    proves that candidate generation misses nothing (recall = 1)."""
+    from name_matching_spark.oracle_sql.dl import dl_cte_sql
+
+    return f"""WITH RECURSIVE person AS ({PERSON_SQL}),
+words AS (
+    SELECT DISTINCT t.tok AS w
+    FROM person, LATERAL unnest(
+        string_split(lower(concat(first_name, ' ', middle_name_last_name)), ' ')
+    ) AS t(tok)
+    WHERE t.tok <> ''),
+dp AS (SELECT a.w AS s1, b.w AS s2 FROM words a JOIN words b ON a.w < b.w),
+{dl_cte_sql("dp")}
+SELECT s1 AS w1, s2 AS w2, CAST(dist AS BIGINT) AS dl_dist
+FROM dl
+WHERE dist <= 1
 """
 
 
@@ -3731,4 +3790,5 @@ def oracle_sql() -> dict[str, str]:
             FROM members m LEFT JOIN ec e USING (cluster_id)
             WHERE m.n_members >= 2
         """,
+        "q82_symspell_pairs": _q82_oracle(),
     }

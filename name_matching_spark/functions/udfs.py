@@ -11,6 +11,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -22,6 +23,7 @@ __all__ = [
     "jaro_udf",
     "jaro_winkler_udf",
     "dl_similarity_udf",
+    "dl_distance_udf",
     "soundex_udf",
     "standardize_udf",
     "parse_name_udf",
@@ -48,6 +50,16 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
 def dl_similarity_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
     return pd.Series(
         K.batch_dl_similarity(s1.to_numpy(object), s2.to_numpy(object)), index=s1.index
+    )
+
+
+@pandas_udf(LongType())
+def dl_distance_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Exact full Damerau-Levenshtein DISTANCE (integer) — the raw count
+    behind ``dl_similarity_udf``; reference ``src/matcher.py:245``."""
+    return pd.Series(
+        K.batch_dl_distance(s1.to_numpy(object), s2.to_numpy(object)).astype("int64"),
+        index=s1.index,
     )
 
 

@@ -34,6 +34,7 @@ __all__ = [
     "candidate_pairs_cross",
     "global_sort_rank",
     "sorted_neighborhood_pairs",
+    "symspell_delete1_pairs",
 ]
 
 
@@ -368,4 +369,47 @@ def candidate_pairs_cross(
         F.col("r.rid").alias("id2"),
         F.col("l.payload").alias("s1"),
         F.col("r.payload").alias("s2"),
+    )
+
+
+def symspell_delete1_pairs(df: DataFrame, word_col: str = "word") -> DataFrame:
+    """SymSpell-style delete-1 neighborhood join: every pair of distinct
+    words whose single-character-delete neighborhoods intersect — a
+    complete candidate set for full Damerau-Levenshtein distance <= 1
+    (reference fuzzy path ``src/matcher.py:245``; Garbe's SymSpell scheme).
+
+    Completeness at distance 1: a deletion/insertion pair shares the
+    shorter word itself; a substitution pair shares the delete at the
+    substituted position; an adjacent transposition ``..xy..``/``..yx..``
+    shares the delete of either swapped character. So an equi-join on the
+    variant string has recall = 1 vs the O(V^2) all-pairs scan (proved by
+    q82's exact all-pairs oracle).
+
+    Distributed shape: O(V * L) variant keys and ONE shuffle on the variant
+    string — no quadratic stage anywhere. Variant-key frequency is bounded
+    by alphabet size * L (each shared variant implies distance <= 1), so no
+    hot-key salting is needed even at vocabulary scale.
+
+    Input must be distinct non-null words; output ``w1 < w2``, distinct
+    (a pair can share several variants, e.g. equal-modulo-transposition).
+    """
+    variants = df.select(
+        F.col(word_col).alias("word"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, length({word_col})), i -> "
+                    f"IF(i = 0, {word_col}, "
+                    f"concat(substring({word_col}, 1, i - 1), "
+                    f"substring({word_col}, i + 1))))"
+                )
+            )
+        ).alias("variant"),
+    )
+    return (
+        variants.alias("a")
+        .join(variants.alias("b"), "variant")
+        .filter(F.col("a.word") < F.col("b.word"))
+        .select(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+        .distinct()
     )

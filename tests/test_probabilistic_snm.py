@@ -429,3 +429,53 @@ def test_em_estimate_separates_mixture(spark):
     assert out["agree_a"]["m"] > 0.7 > 0.35 > out["agree_a"]["u"]
     assert out["agree_b"]["m"] > out["agree_b"]["u"]
     assert out["agree_a"]["agree_weight"] > 0 > out["agree_a"]["disagree_weight"]
+
+
+# ---------------------------------------------------------------------------
+# SymSpell delete-1 neighborhood join
+# ---------------------------------------------------------------------------
+
+
+def test_symspell_matches_brute_force_dl1(spark):
+    """Delete-1 neighborhood join == exhaustive all-pairs DL<=1 scan
+    (recall = 1), over a vocabulary exercising every distance-1 edit kind:
+    deletion, insertion, substitution, adjacent transposition — plus
+    distance-2 decoys that a sloppy candidate filter would admit."""
+    from name_matching_spark.functions.kernels import batch_dl_distance
+    from name_matching_spark.operators.blocking import symspell_delete1_pairs
+
+    vocab = [
+        "maria", "mara",       # deletion / insertion
+        "marla",               # substitution of maria
+        "mraia",               # transposition of maria
+        "juan", "juna",        # transposition
+        "jose", "rose",        # substitution
+        "a", "b", "ab",        # length-1 edge cases
+        "cruz", "curz",        # transposition
+        "santos", "anders",    # far apart (decoys)
+    ]
+    df = spark.createDataFrame([(w,) for w in vocab], "word string")
+    got = {
+        (r.w1, r.w2)
+        for r in symspell_delete1_pairs(df).collect()
+        if batch_dl_distance([r.w1], [r.w2])[0] <= 1
+    }
+    want = set()
+    for i, w1 in enumerate(vocab):
+        for w2 in vocab[i + 1:]:
+            a, b = sorted([w1, w2])
+            if batch_dl_distance([a], [b])[0] <= 1:
+                want.add((a, b))
+    assert got == want
+    assert ("juan", "juna") in got          # transposition caught
+    assert ("jose", "rose") in got          # substitution caught
+    assert ("mara", "maria") in got         # deletion caught
+    assert ("anders", "santos") not in got  # decoy rejected
+
+
+def test_symspell_no_self_pairs_and_ordering(spark):
+    from name_matching_spark.operators.blocking import symspell_delete1_pairs
+
+    df = spark.createDataFrame([("x",), ("y",), ("xy",)], "word string")
+    rows = symspell_delete1_pairs(df).collect()
+    assert all(r.w1 < r.w2 for r in rows)
