@@ -1326,6 +1326,31 @@ def q82_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free evaluation of the EM posterior scorer: ROC AUC via
+    the Mann-Whitney U statistic with average-rank tie handling, computed
+    on the per-score-value census — NOT a global row sort. The posterior's
+    exact 2^-30 integer form (``match_q30``) is the rank key, and the
+    distinct-value census is one groupBy (|distinct| <= 2^|fields| gamma
+    patterns), so the ordering window runs over a handful of rows no matter
+    the pair count. All outputs are exact integers: twice the positive rank
+    sum stays integral under average ranks (2*avg = 2*below + cnt + 1),
+    and AUC is emitted as ppm via integer division. Complements the
+    fixed-threshold P/R/F1 of q09 and the sweep of q43 (reference
+    ``src/evaluation.py`` workflow)."""
+    from name_matching_spark.operators.evaluation import roc_auc
+    from name_matching_spark.operators.probabilistic import (
+        em_estimate,
+        em_match_probability,
+    )
+
+    lab = _fs_labeled_pairs(spark, sf_dir)
+    params = em_estimate(lab.drop("true_label"), _FS_FIELDS, n_iter=2)
+    out = em_match_probability(lab, params, _FS_FIELDS)
+    scored = out.withColumn("is_match", F.col("true_label") == "match")
+    return roc_auc(scored, "match_q30", "is_match")
+
+
 def q59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (merge/purge): global rank over the
     token-sorted name key WITHOUT a single-partition sort (range repartition
@@ -1937,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_review_queue": q80_review_queue,
         "q81_cluster_cohesion": q81_cluster_cohesion,
         "q82_symspell_pairs": q82_symspell_pairs,
+        "q84_roc_auc": q84_roc_auc,
     }
 
 
@@ -2510,6 +2536,37 @@ def _q80_oracle() -> str:
             FROM fs_pairs p CROSS JOIN par2)
         ORDER BY boundary_dist ASC, id1 ASC, id2 ASC
         LIMIT 50
+    """
+
+
+def _q84_oracle() -> str:
+    """AUC oracle: q79's posterior chain, then the same census-based
+    Mann-Whitney form (average ranks as exact integers)."""
+    chain, estep = _em_oracle_chain()
+    S = 1 << 30
+    return chain + f""",
+        scored AS (SELECT p.is_match,
+                          CAST(floor({estep} * {float(S)!r}::DOUBLE) AS BIGINT)
+                              AS match_q30
+                   FROM fs_pairs p CROSS JOIN par2),
+        census AS (SELECT match_q30, count(*) AS cnt,
+                          sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS pos
+                   FROM scored GROUP BY 1),
+        rnk AS (SELECT cnt, pos,
+                       COALESCE(sum(cnt) OVER (ORDER BY match_q30
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS below
+                FROM census),
+        agg AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                       CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+                       CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT)
+                           AS twice_rank_sum
+                FROM rnk)
+        SELECT n_pos, n_neg,
+               twice_rank_sum - n_pos * (n_pos + 1) AS u2,
+               CAST((twice_rank_sum - n_pos * (n_pos + 1)) * 500000
+                    // (n_pos * n_neg) AS BIGINT) AS auc_ppm
+        FROM agg
     """
 
 
@@ -3791,4 +3848,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE m.n_members >= 2
         """,
         "q82_symspell_pairs": _q82_oracle(),
+        "q84_roc_auc": _q84_oracle(),
     }

@@ -19,6 +19,7 @@ __all__ = [
     "threshold_sweep",
     "bcubed_metrics",
     "cohens_kappa",
+    "roc_auc",
 ]
 
 
@@ -222,4 +223,60 @@ def cohens_kappa(
             "ELSE CAST(po_ppm - pe_ppm AS DOUBLE) / "
             "CAST(1000000 - pe_ppm AS DOUBLE) END"
         ),
+    )
+
+
+def roc_auc(
+    pairs: DataFrame,
+    score_col: str,
+    label_col: str = "is_match",
+) -> DataFrame:
+    """Threshold-free ROC AUC via the Mann-Whitney U statistic with
+    average-rank tie handling, exact integers end to end.
+
+    ``score_col`` must be an integer rank key (e.g. the 2^-30 fixed-point
+    posterior ``match_q30``) so both engines order identically;
+    ``label_col`` is boolean. Distributed shape: ONE groupBy builds the
+    per-score-value census, and the rank window runs over the census
+    (|distinct scores| rows — for gamma-pattern scorers that is <= 2^|fields|),
+    never over the pair stream; no global row sort at any scale. Average
+    ranks stay integral doubled: 2*avg_rank = 2*below + cnt + 1.
+
+    Output: one row — ``n_pos, n_neg, u2`` (twice the U statistic) and
+    ``auc_ppm = U / (n_pos * n_neg)`` as integer ppm.
+
+    Threshold-free companion to the fixed-threshold ``pairwise_metrics``
+    and grid ``threshold_sweep`` (reference ``src/evaluation.py`` surface).
+    """
+    from pyspark.sql import Window
+
+    census = (
+        pairs.select(F.col(label_col).alias("pos_flag"), score_col)
+        .groupBy(score_col)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col("pos_flag"), 1).otherwise(0)).alias("pos"),
+        )
+    )
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = census.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum("pos").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).alias("n_neg"),
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("below") + F.col("cnt") + F.lit(1))
+        ).alias("twice_rank_sum"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (F.col("twice_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("long")
+        .alias("u2"),
+        F.expr(
+            "CAST((twice_rank_sum - n_pos * (n_pos + 1)) * 500000 "
+            "DIV (n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
     )

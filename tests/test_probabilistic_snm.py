@@ -479,3 +479,35 @@ def test_symspell_no_self_pairs_and_ordering(spark):
     df = spark.createDataFrame([("x",), ("y",), ("xy",)], "word string")
     rows = symspell_delete1_pairs(df).collect()
     assert all(r.w1 < r.w2 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# ROC AUC (census-based Mann-Whitney)
+# ---------------------------------------------------------------------------
+
+
+def test_roc_auc_hand_computed_with_ties(spark):
+    from name_matching_spark.operators.evaluation import roc_auc
+
+    # sorted asc: 1(pos),1(neg) avg rank 1.5; 5(neg) 3; 7(neg) 4;
+    # 10(pos),10(neg) avg rank 5.5 -> rank sum pos = 7, U = 4,
+    # AUC = 4 / (2*4) = 0.5
+    rows = [(10, True), (10, False), (5, False), (1, True), (1, False), (7, False)]
+    df = spark.createDataFrame(rows, "score long, is_match boolean")
+    r = roc_auc(df, "score").collect()[0]
+    assert (r.n_pos, r.n_neg, r.u2, r.auc_ppm) == (2, 4, 8, 500000)
+
+
+def test_roc_auc_perfect_separation(spark):
+    from name_matching_spark.operators.evaluation import roc_auc
+
+    rows = [(1, False), (2, False), (3, True), (4, True)]
+    df = spark.createDataFrame(rows, "score long, is_match boolean")
+    r = roc_auc(df, "score").collect()[0]
+    assert r.auc_ppm == 1000000
+    # reversed scorer -> AUC 0
+    df2 = spark.createDataFrame(
+        [(4, False), (3, False), (2, True), (1, True)],
+        "score long, is_match boolean",
+    )
+    assert roc_auc(df2, "score").collect()[0].auc_ppm == 0
