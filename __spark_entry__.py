@@ -1326,6 +1326,41 @@ def q82_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_group_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Household (group) linkage: q15's match-classified record pairs
+    lifted to household pairs (household = standardized last name + city).
+    Emits per cross-household pair the link count, best member score, and
+    the size-normalized strength in exact ppm — the group-level ER step
+    for family/household corpora. Plan: two id-keyed joins + one groupBy;
+    the oracle recomputes q15's full recursive-CTE pipeline nested as a
+    subquery, so the lift itself is value-hash checked end to end."""
+    from name_matching_spark.operators.clustering import group_linkage
+    from name_matching_spark.operators.normalize import (
+        LinkageSchema,
+        normalize_records,
+    )
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(
+        person, LinkageSchema(id_col="record_id", geo_fields=["city_name"])
+    )
+    hh = norm.select(
+        "record_id",
+        F.concat_ws("|", "last_std", "city_name_std").alias("group_id"),
+    )
+    # q15's output is already match + manual_review (non_match filtered) —
+    # every retained pair is link evidence; geo disagreement usually caps
+    # cross-household pairs below the hard 'match' class.
+    matches = q15_match_scores(spark, sf_dir)
+    return group_linkage(matches, hh).select(
+        F.col("g1").alias("hh1"),
+        F.col("g2").alias("hh2"),
+        "n_links",
+        "max_score",
+        "strength_ppm",
+    )
+
+
 def q84_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-free evaluation of the EM posterior scorer: ROC AUC via
     the Mann-Whitney U statistic with average-rank tie handling, computed
@@ -1367,8 +1402,13 @@ def q59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fs_labeled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared by q60/q61: blocked candidate pairs with boolean agreement
-    vectors + a deterministic proxy label (token-sorted full names equal)."""
+    """Shared by q60/q61/q67/q78-q80/q84: blocked candidate pairs with
+    boolean agreement vectors + a deterministic proxy label (token-sorted
+    full names equal). Lazily localCheckpointed: most consumers collect
+    parameters off this frame and then re-scan it (EM fit -> predict,
+    mu-weights -> score), and the checkpoint caps the normalize-UDF +
+    blocking chain at ONE execution; the frame itself is slim
+    (ids + 4 booleans). Cluster equivalent: persist/checkpoint."""
     from name_matching_spark.operators.blocking import blocking_key_column, candidate_pairs_self
     from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
 
@@ -1390,7 +1430,7 @@ def _fs_labeled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("s1.sorted_full") == F.col("s2.sorted_full"), "match"
         ).otherwise("non-match").alias("true_label"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 _FS_FIELDS = ["agree_first", "agree_last", "agree_birth_year"]
@@ -1962,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_review_queue": q80_review_queue,
         "q81_cluster_cohesion": q81_cluster_cohesion,
         "q82_symspell_pairs": q82_symspell_pairs,
+        "q83_group_linkage": q83_group_linkage,
         "q84_roc_auc": q84_roc_auc,
     }
 
@@ -2537,6 +2578,35 @@ def _q80_oracle() -> str:
         ORDER BY boundary_dist ASC, id1 ASC, id2 ASC
         LIMIT 50
     """
+
+
+def _q83_oracle() -> str:
+    """Group-linkage oracle: q15's full oracle nested as subquery ``sc``,
+    households re-derived from person with the closed-form standardized
+    last name, then the same lift arithmetic (max double is
+    order-independent; strength as integer ppm)."""
+    q15 = _q15_oracle()
+    return f"""WITH sc AS ({q15}),
+person AS ({PERSON_SQL}),
+hh AS (SELECT record_id,
+              {_ORACLE_LAST} || '|' || lower(city_name) AS hh
+       FROM person),
+links AS (
+    SELECT least(h1.hh, h2.hh) AS hh1, greatest(h1.hh, h2.hh) AS hh2,
+           s.score
+    FROM sc s
+    JOIN hh h1 ON h1.record_id = s.id1
+    JOIN hh h2 ON h2.record_id = s.id2
+    WHERE h1.hh <> h2.hh),
+sizes AS (SELECT hh, count(*) AS n FROM hh GROUP BY 1),
+agg AS (SELECT hh1, hh2, count(*) AS n_links, max(score) AS max_score
+        FROM links GROUP BY 1, 2)
+SELECT a.hh1, a.hh2, CAST(a.n_links AS BIGINT) AS n_links, a.max_score,
+       CAST(a.n_links * 1000000 // (z1.n * z2.n) AS BIGINT) AS strength_ppm
+FROM agg a
+JOIN sizes z1 ON z1.hh = a.hh1
+JOIN sizes z2 ON z2.hh = a.hh2
+"""
 
 
 def _q84_oracle() -> str:
@@ -3848,5 +3918,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE m.n_members >= 2
         """,
         "q82_symspell_pairs": _q82_oracle(),
+        "q83_group_linkage": _q83_oracle(),
         "q84_roc_auc": _q84_oracle(),
     }

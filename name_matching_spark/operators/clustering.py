@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "assign_clusters", "select_canonical"]
+__all__ = [
+    "connected_components",
+    "assign_clusters",
+    "select_canonical",
+    "group_linkage",
+]
 
 
 def select_canonical(
@@ -156,4 +161,58 @@ def assign_clusters(
         records.join(comps, records[id_col] == comps["record_id"], "left")
         .drop(comps["record_id"])
         .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    )
+
+
+def group_linkage(
+    member_pairs: DataFrame,
+    membership: DataFrame,
+    id_col: str = "record_id",
+    group_col: str = "group_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Group-level linkage (household matching, On & Elmacioglu-style):
+    lift record-level match evidence to pairs of GROUPS. A matched record
+    pair whose two records belong to different groups is one cross-group
+    link; per unordered group pair this emits the link count, the best
+    member-level score, and a size-normalized strength
+    ``n_links / (|g1| * |g2|)`` as exact integer ppm.
+
+    Distributed shape: two equi-joins on the record id attach group labels
+    to the (already blocked) pair stream, one groupBy on the oriented group
+    pair aggregates, and the size census joins on the group key — every
+    stage keyed, nothing quadratic, ``max`` is order-independent so doubles
+    stay engine-exact.
+
+    Output: ``g1, g2, n_links, max_score, strength_ppm`` with ``g1 < g2``.
+    """
+    m = membership.select(
+        F.col(id_col).alias("_rid"), F.col(group_col).alias("_g")
+    )
+    linked = (
+        member_pairs.join(m.withColumnRenamed("_rid", "id1").withColumnRenamed("_g", "_g1"), "id1")
+        .join(m.withColumnRenamed("_rid", "id2").withColumnRenamed("_g", "_g2"), "id2")
+        .filter(F.col("_g1") != F.col("_g2"))
+        .select(
+            F.least("_g1", "_g2").alias("g1"),
+            F.greatest("_g1", "_g2").alias("g2"),
+            F.col(score_col).alias("_s"),
+        )
+    )
+    agg = linked.groupBy("g1", "g2").agg(
+        F.count(F.lit(1)).alias("n_links"), F.max("_s").alias("max_score")
+    )
+    sizes = m.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        agg.join(sizes.withColumnRenamed("_g", "g1").withColumnRenamed("_n", "_n1"), "g1")
+        .join(sizes.withColumnRenamed("_g", "g2").withColumnRenamed("_n", "_n2"), "g2")
+        .select(
+            "g1",
+            "g2",
+            F.col("n_links").cast("long").alias("n_links"),
+            "max_score",
+            F.expr(
+                "CAST(n_links * 1000000 DIV (_n1 * _n2) AS BIGINT)"
+            ).alias("strength_ppm"),
+        )
     )

@@ -97,3 +97,25 @@ def test_select_canonical_survivorship(spark):
         ).collect()
     }
     assert out == {1: (2, 3), 10: (10, 2)}  # longest name; tie -> lowest id
+
+
+def test_group_linkage_hand_computed(spark):
+    from name_matching_spark.operators.clustering import group_linkage
+
+    membership = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "C"), (5, "C")],
+        "record_id long, group_id string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3, 0.9), (2, 3, 0.8), (1, 2, 0.95), (3, 4, 0.7)],
+        "id1 long, id2 long, score double",
+    )
+    rows = {
+        (r.g1, r.g2): r for r in group_linkage(pairs, membership).collect()
+    }
+    # same-group pair (1,2) dropped; A-B has two links out of 2*1 slots
+    assert set(rows) == {("A", "B"), ("B", "C")}
+    ab = rows[("A", "B")]
+    assert (ab.n_links, ab.max_score, ab.strength_ppm) == (2, 0.9, 1000000)
+    bc = rows[("B", "C")]
+    assert (bc.n_links, bc.max_score, bc.strength_ppm) == (1, 0.7, 500000)
