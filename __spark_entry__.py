@@ -1404,17 +1404,30 @@ def q59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fs_labeled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared by q60/q61/q67/q78-q80/q84: blocked candidate pairs with
     boolean agreement vectors + a deterministic proxy label (token-sorted
-    full names equal). Lazily localCheckpointed: most consumers collect
-    parameters off this frame and then re-scan it (EM fit -> predict,
-    mu-weights -> score), and the checkpoint caps the normalize-UDF +
-    blocking chain at ONE execution; the frame itself is slim
-    (ids + 4 booleans). Cluster equivalent: persist/checkpoint."""
+    full names equal). The KEYED record frame is repartitioned to cluster
+    parallelism before the normalize UDFs and lazily localCheckpointed —
+    consumers collect parameters then re-scan (EM fit -> predict,
+    mu-weights -> score), and the checkpoint caps the UDF chain at ONE
+    execution while the cheap pair join replays per scan (checkpointing
+    the multi-million-row pair frame itself costs more than it saves).
+    Cluster equivalent: persist/checkpoint on the record frame."""
     from name_matching_spark.operators.blocking import blocking_key_column, candidate_pairs_self
     from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
 
     person = _person_df(spark, sf_dir)
+    # single-file source arrives as one partition — spread BEFORE the
+    # normalize UDF chain so it doesn't run serially (same guard as
+    # plans/linkage.py; profiled 21.6s -> UDFs parallel at sf0.1)
+    sc = spark.sparkContext
+    if person.rdd.getNumPartitions() < sc.defaultParallelism:
+        person = person.repartition(sc.defaultParallelism)
     norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
     keyed = norm.withColumn("block_key", blocking_key_column("phonetic"))
+    # checkpoint the SMALL keyed record frame (not the pair frame — wide
+    # multi-million-row checkpoints cost more than they save): the UDF
+    # chain runs once across the census + both join arms and across the
+    # param-collect/re-scan double consumption of every downstream query
+    keyed = keyed.localCheckpoint(eager=False)
     pairs = candidate_pairs_self(
         keyed, ["first_std", "last_std", "birthdate_std", "sorted_full"]
     )
@@ -1430,7 +1443,7 @@ def _fs_labeled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("s1.sorted_full") == F.col("s2.sorted_full"), "match"
         ).otherwise("non-match").alias("true_label"),
-    ).localCheckpoint(eager=False)
+    )
 
 
 _FS_FIELDS = ["agree_first", "agree_last", "agree_birth_year"]
