@@ -1326,6 +1326,68 @@ def q82_symspell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q85_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell spell correction: assign every vocabulary word its
+    highest-corpus-frequency neighbor at full DL distance <= 1 (the
+    dictionary lookup step on top of q82's candidate join) — corrects the
+    injected transposition typos toward the dominant spelling. Ties break
+    (freq desc, candidate asc); a word is emitted only when a strictly
+    more frequent neighbor exists. Plan: token census (one groupBy), the
+    delete-1 neighborhood join, a mirror explode, and one per-word window
+    over <= |neighbors|+1 rows — no quadratic stage."""
+    from name_matching_spark.functions.udfs import dl_distance_udf
+    from name_matching_spark.operators.blocking import symspell_delete1_pairs
+
+    person = _person_df(spark, sf_dir)
+    tokens = person.select(
+        F.explode(
+            F.split(
+                F.lower(F.concat_ws(" ", "first_name", "middle_name_last_name")),
+                " ",
+            )
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    census = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = (
+        symspell_delete1_pairs(census.select("word"), "word")
+        .withColumn("dl", dl_distance_udf(F.col("w1"), F.col("w2")))
+        .filter(F.col("dl") <= 1)
+    )
+    # both orientations + the word itself as its own candidate
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("w1").alias("word"), F.col("w2").alias("cand")),
+                F.struct(F.col("w2").alias("word"), F.col("w1").alias("cand")),
+            )
+        ).alias("_e")
+    ).select("_e.word", "_e.cand")
+    cands = edges.unionByName(
+        census.select("word", F.col("word").alias("cand"))
+    )
+    scored = (
+        cands.join(
+            census.withColumnsRenamed({"word": "cand", "freq": "cand_freq"}),
+            "cand",
+        )
+        .join(census, "word")
+    )
+    w = Window.partitionBy("word").orderBy(
+        F.desc("cand_freq"), F.asc("cand")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("cand") != F.col("word")))
+        .filter(F.col("cand_freq") > F.col("freq"))
+        .select(
+            "word",
+            F.col("cand").alias("corrected"),
+            F.col("freq").cast("long").alias("freq"),
+            F.col("cand_freq").cast("long").alias("corrected_freq"),
+        )
+    )
+
+
 def q83_group_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Household (group) linkage: q15's match-classified record pairs
     lifted to household pairs (household = standardized last name + city).
@@ -2017,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_symspell_pairs": q82_symspell_pairs,
         "q83_group_linkage": q83_group_linkage,
         "q84_roc_auc": q84_roc_auc,
+        "q85_spell_correct": q85_spell_correct,
     }
 
 
@@ -2619,6 +2682,39 @@ SELECT a.hh1, a.hh2, CAST(a.n_links AS BIGINT) AS n_links, a.max_score,
 FROM agg a
 JOIN sizes z1 ON z1.hh = a.hh1
 JOIN sizes z2 ON z2.hh = a.hh2
+"""
+
+
+def _q85_oracle() -> str:
+    """Spell-correction oracle: token census + exact all-pairs DL <= 1
+    (recursive CTE) + the same argmax window."""
+    from name_matching_spark.oracle_sql.dl import dl_cte_sql
+
+    return f"""WITH RECURSIVE person AS ({PERSON_SQL}),
+tok AS (
+    SELECT t.tok AS word
+    FROM person, LATERAL unnest(
+        string_split(lower(concat(first_name, ' ', middle_name_last_name)), ' ')
+    ) AS t(tok)
+    WHERE t.tok <> ''),
+census AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+dp AS (SELECT a.word AS s1, b.word AS s2
+       FROM census a JOIN census b ON a.word < b.word),
+{dl_cte_sql("dp")},
+near AS (SELECT s1 AS w1, s2 AS w2 FROM dl WHERE dist <= 1),
+cands AS (
+    SELECT w1 AS word, w2 AS cand FROM near
+    UNION ALL SELECT w2, w1 FROM near
+    UNION ALL SELECT word, word FROM census),
+scored AS (SELECT c.word, c.cand, f.freq AS freq, g.freq AS cand_freq,
+                  row_number() OVER (PARTITION BY c.word
+                      ORDER BY g.freq DESC, c.cand ASC) AS rn
+           FROM cands c
+           JOIN census f ON f.word = c.word
+           JOIN census g ON g.word = c.cand)
+SELECT word, cand AS corrected, CAST(freq AS BIGINT) AS freq,
+       CAST(cand_freq AS BIGINT) AS corrected_freq
+FROM scored WHERE rn = 1 AND cand <> word AND cand_freq > freq
 """
 
 
@@ -3933,4 +4029,5 @@ def oracle_sql() -> dict[str, str]:
         "q82_symspell_pairs": _q82_oracle(),
         "q83_group_linkage": _q83_oracle(),
         "q84_roc_auc": _q84_oracle(),
+        "q85_spell_correct": _q85_oracle(),
     }
