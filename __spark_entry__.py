@@ -1388,6 +1388,22 @@ def q85_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted cosine rerank over the banded-MinHash candidates
+    (the q45 chain's weighted sibling): rare shared tokens dominate the
+    score, boilerplate barely counts. Integer-quantized idf keeps dot
+    products and norms in exact BIGINT; the one sqrt/divide at the end is
+    IEEE-exact in both engines."""
+    from name_matching_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        tfidf_cosine_rerank,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_len=5)
+    return tfidf_cosine_rerank(docs, cand)
+
+
 def q83_group_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Household (group) linkage: q15's match-classified record pairs
     lifted to household pairs (household = standardized last name + city).
@@ -2080,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_group_linkage": q83_group_linkage,
         "q84_roc_auc": q84_roc_auc,
         "q85_spell_correct": q85_spell_correct,
+        "q86_tfidf_cosine": q86_tfidf_cosine,
     }
 
 
@@ -4030,4 +4047,41 @@ def oracle_sql() -> dict[str, str]:
         "q83_group_linkage": _q83_oracle(),
         "q84_roc_auc": _q84_oracle(),
         "q85_spell_correct": _q85_oracle(),
+        "q86_tfidf_cosine": "WITH "
+        + _minhash_oracle_cte(16)
+        + """,
+            band AS (SELECT doc_id, CAST(h // 4 AS INT) AS band,
+                            string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS band_sig
+                     FROM mh GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                     FROM band a
+                     JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig
+                                AND a.doc_id < b.doc_id),
+            tf AS (SELECT doc_id, t.tok AS token, count(*) AS tf
+                   FROM documents, LATERAL unnest(
+                       string_split_regex(lower(text), '\\s+')) AS t(tok)
+                   WHERE t.tok <> ''
+                   GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            w AS (SELECT tf.doc_id, tf.token,
+                         tf.tf * (1000000 // dfq.df) AS w
+                  FROM tf JOIN dfq USING (token)),
+            norms AS (SELECT doc_id, sum(w * w) AS norm2 FROM w GROUP BY 1),
+            dots AS (SELECT c.id1, c.id2, sum(w1.w * w2.w) AS dot
+                     FROM cand c
+                     JOIN w w1 ON w1.doc_id = c.id1
+                     JOIN w w2 ON w2.doc_id = c.id2 AND w2.token = w1.token
+                     GROUP BY 1, 2)
+            SELECT c.id1, c.id2,
+                   CAST(COALESCE(d.dot, 0) AS BIGINT) AS dot,
+                   CAST(n1.norm2 AS BIGINT) AS norm1,
+                   CAST(n2.norm2 AS BIGINT) AS norm2,
+                   COALESCE(d.dot, 0) /
+                       (sqrt(CAST(n1.norm2 AS DOUBLE)) *
+                        sqrt(CAST(n2.norm2 AS DOUBLE))) AS cosine
+            FROM cand c
+            LEFT JOIN dots d ON d.id1 = c.id1 AND d.id2 = c.id2
+            JOIN norms n1 ON n1.doc_id = c.id1
+            JOIN norms n2 ON n2.doc_id = c.id2
+        """,
     }

@@ -23,6 +23,7 @@ __all__ = [
     "token_jaccard_pairs",
     "shingle_jaccard_pairs",
     "shingle_jaccard_rerank",
+    "tfidf_cosine_rerank",
     "shingle_containment_rerank",
     "minhash_coefficients",
     "minhash_signatures",
@@ -660,4 +661,75 @@ def simhash_near_dupes(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
+    )
+
+
+def tfidf_cosine_rerank(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT TF-IDF cosine similarity for GIVEN candidate pairs — the
+    weighted companion of :func:`shingle_jaccard_rerank` (rare tokens
+    dominate, boilerplate tokens barely count; the standard corpus-dedup
+    rerank when near-dups share rare content but differ in stopwords).
+
+    Engine-exact by integer quantization: ``idf_q = idf_scale DIV df``
+    (document frequency over the FULL corpus) and per-(doc, token) weight
+    ``w = tf * idf_q`` keep dot products and squared norms in exact BIGINT
+    arithmetic; the final cosine performs one IEEE sqrt/multiply/divide on
+    exact integers — bit-identical in any engine.
+
+    Plan shape: one token census (tf), one df census, postings joined to
+    the candidate pairs (candidates x tokens-per-doc — linear in candidate
+    postings, never all-pairs), plus a per-doc norm frame joined back by
+    id. Output: ``id1, id2, dot, norm1, norm2, cosine`` (pairs with no
+    shared token keep dot = 0 via the left join).
+    """
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(dfreq, "token").select(
+        F.col(id_col),
+        "token",
+        (F.col("tf") * F.expr(f"{int(idf_scale)} DIV df")).alias("w"),
+    )
+    norms = w.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("norm2"))
+    t1 = w.select(F.col(id_col).alias("id1"), "token", F.col("w").alias("w1"))
+    t2 = w.select(F.col(id_col).alias("id2"), "token", F.col("w").alias("w2"))
+    cand = pairs.select("id1", "id2")
+    dots = (
+        cand.join(t1, "id1")
+        .join(t2, ["id2", "token"])
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    return (
+        cand.join(dots, ["id1", "id2"], "left")
+        .withColumn("dot", F.coalesce(F.col("dot"), F.lit(0)).cast("long"))
+        .join(norms.withColumnsRenamed({id_col: "id1", "norm2": "norm1"}), "id1")
+        .join(norms.withColumnsRenamed({id_col: "id2"}), "id2")
+        .select(
+            "id1",
+            "id2",
+            "dot",
+            F.col("norm1").cast("long").alias("norm1"),
+            F.col("norm2").cast("long").alias("norm2"),
+            (
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("norm1").cast("double"))
+                    * F.sqrt(F.col("norm2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
     )

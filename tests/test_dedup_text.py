@@ -551,3 +551,24 @@ def test_bigram_novelty(spark):
     assert out[1]["n_novel"] == 2
     assert out[1]["novelty_ppm"] == 666666
     assert out[2]["n_novel"] == 2
+
+
+def test_tfidf_cosine_rerank_hand_computed(spark):
+    from name_matching_spark.operators.dedup import tfidf_cosine_rerank
+
+    docs = spark.createDataFrame(
+        [(1, "a b b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id1 long, id2 long")
+    rows = {(r.id1, r.id2): r for r in tfidf_cosine_rerank(docs, pairs).collect()}
+    # df: a=2, b=2, c=1 -> idf_q 500000/500000/1000000
+    # w(d1)={a:5e5, b:1e6}, w(d2)={a:5e5, b:5e5}, w(d3)={c:1e6}
+    r12 = rows[(1, 2)]
+    assert r12.dot == 500000**2 + 1000000 * 500000
+    assert r12.norm1 == 500000**2 + 1000000**2
+    assert r12.norm2 == 2 * 500000**2
+    import math
+
+    assert r12.cosine == r12.dot / (math.sqrt(r12.norm1) * math.sqrt(r12.norm2))
+    r13 = rows[(1, 3)]
+    assert (r13.dot, r13.cosine) == (0, 0.0)
