@@ -1404,6 +1404,35 @@ def q86_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_rerank(docs, cand)
 
 
+def q87_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-linkage data-quality census of the person table: one melt +
+    one groupBy yields row/null/exact-distinct counts, lexicographic
+    min/max, and mean value length (integer ppm) for every column — the
+    profiling pass that decides which fields are usable as blocking keys.
+    A NULL-bearing column is synthesized (birth month stripped for ids
+    % 5 = 0) so the null path is exercised end to end."""
+    from name_matching_spark.operators.profiling import profile_columns
+
+    person = _person_df(spark, sf_dir).withColumn(
+        "birth_month",
+        F.when(
+            F.col("record_id") % 5 != 0, F.substring("birthdate", 6, 2)
+        ),
+    )
+    return profile_columns(
+        person,
+        [
+            "record_id",
+            "first_name",
+            "middle_name_last_name",
+            "birthdate",
+            "birth_month",
+            "province_name",
+            "city_name",
+        ],
+    )
+
+
 def q83_group_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Household (group) linkage: q15's match-classified record pairs
     lifted to household pairs (household = standardized last name + city).
@@ -2097,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_roc_auc": q84_roc_auc,
         "q85_spell_correct": q85_spell_correct,
         "q86_tfidf_cosine": q86_tfidf_cosine,
+        "q87_profile": q87_profile,
     }
 
 
@@ -2732,6 +2762,39 @@ scored AS (SELECT c.word, c.cand, f.freq AS freq, g.freq AS cand_freq,
 SELECT word, cand AS corrected, CAST(freq AS BIGINT) AS freq,
        CAST(cand_freq AS BIGINT) AS corrected_freq
 FROM scored WHERE rn = 1 AND cand <> word AND cand_freq > freq
+"""
+
+
+def _q87_oracle() -> str:
+    """Profiler oracle: UNION ALL melt + identical aggregates."""
+    cols = [
+        ("record_id", "CAST(record_id AS VARCHAR)"),
+        ("first_name", "first_name"),
+        ("middle_name_last_name", "middle_name_last_name"),
+        ("birthdate", "birthdate"),
+        (
+            "birth_month",
+            "CASE WHEN record_id % 5 <> 0 THEN substr(birthdate, 6, 2) END",
+        ),
+        ("province_name", "province_name"),
+        ("city_name", "city_name"),
+    ]
+    melt = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS col_name, {expr} AS value FROM person"
+        for name, expr in cols
+    )
+    return f"""WITH person AS ({PERSON_SQL}),
+long AS ({melt})
+SELECT col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(value) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+       min(value) AS min_val,
+       max(value) AS max_val,
+       CAST(coalesce(sum(length(value)), 0) AS BIGINT) AS sum_len,
+       CAST(coalesce(sum(length(value)), 0) * 1000000
+            // greatest(count(value), 1) AS BIGINT) AS avg_len_ppm
+FROM long GROUP BY 1
 """
 
 
@@ -4047,6 +4110,7 @@ def oracle_sql() -> dict[str, str]:
         "q83_group_linkage": _q83_oracle(),
         "q84_roc_auc": _q84_oracle(),
         "q85_spell_correct": _q85_oracle(),
+        "q87_profile": _q87_oracle(),
         "q86_tfidf_cosine": "WITH "
         + _minhash_oracle_cte(16)
         + """,

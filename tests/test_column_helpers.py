@@ -148,3 +148,22 @@ def test_metaphone_blocking_pass(spark):
     rows = {r["record_id"]: r["block_key"] for r in add_blocking_key(df, "metaphone").collect()}
     assert rows["a"] == rows["b"] == "J|SM0"
     assert rows["c"] == "UNKNOWN|0000"
+
+
+def test_profile_columns_nulls_and_distinct(spark):
+    from name_matching_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "ab", None), (2, "c", "x"), (3, "ab", "x")],
+        "id long, s string, t string",
+    )
+    rows = {r.col_name: r for r in profile_columns(df, ["id", "s", "t"]).collect()}
+    assert rows["id"].n_distinct == 3 and rows["id"].n_null == 0
+    s = rows["s"]
+    assert (s.n_distinct, s.min_val, s.max_val, s.sum_len, s.avg_len_ppm) == (
+        2, "ab", "c", 5, 1666666)
+    t = rows["t"]
+    assert (t.n_null, t.n_distinct, t.avg_len_ppm) == (1, 1, 1000000)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        profile_columns(df, [])
