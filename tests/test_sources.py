@@ -86,3 +86,44 @@ def test_write_report_csv(spark, tmp_path):
     assert list(back.columns) == ["id", "double_id"]
     assert len(back) == 5
     assert back["double_id"].tolist() == [0, 2, 4, 6, 8]
+
+
+def test_read_jsonl_mapped_remap_and_corrupt(spark, tmp_path):
+    from name_matching_spark.sources.readers import IngestSpec, read_jsonl_mapped
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"Name": "Juan", "Surname": "Santos", "birthdate": "1990-01-02"}\n'
+        "THIS IS NOT JSON\n"
+        '{"Name": "Maria", "Surname": "Cruz", "birthdate": "bad-date"}\n'
+    )
+    spec = IngestSpec(
+        column_mapping={"Name": "first_name", "Surname": "middle_name_last_name"}
+    )
+    df = read_jsonl_mapped(
+        spark,
+        str(p),
+        spec,
+        schema="Name STRING, Surname STRING, birthdate STRING",
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and "NOT JSON" in corrupt[0]._corrupt_record
+
+    from name_matching_spark.sources.readers import validate_records
+
+    ok, bad = validate_records(df.filter("_corrupt_record IS NULL"))
+    assert [r.first_name for r in ok.collect()] == ["Juan"]
+    assert [r._violations for r in bad.collect()] == [["birthdate"]]
+
+
+def test_read_jsonl_mapped_missing_required_raises(spark, tmp_path):
+    import pytest as _pt
+
+    from name_matching_spark.sources.readers import read_jsonl_mapped
+
+    p = tmp_path / "in2.jsonl"
+    p.write_text('{"Name": "Juan"}\n')
+    with _pt.raises(ValueError, match="missing required"):
+        read_jsonl_mapped(spark, str(p), schema="Name STRING")
