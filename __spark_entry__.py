@@ -1404,6 +1404,27 @@ def q86_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_rerank(docs, cand)
 
 
+def q88_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtered EXACT Jaccard similarity self-join at
+    threshold 0.4 — recall-1 similarity join without LSH and without the
+    df-cap recall tradeoff. The oracle is the exhaustive all-pairs token
+    Jaccard, so the hash gate proves the prefix filter drops nothing.
+
+    Bounded to a fixed 1000-doc slice: this synthetic corpus has a
+    31-token vocabulary, the worst case for ANY token-level similarity
+    join — every token is hot AND the exact all-pairs oracle is inherently
+    sum-of-df^2 — so the slice keeps the three-scale-factor exactness
+    check tractable. The operator itself is corpus-agnostic; its prefix
+    postings shrink with vocabulary size (see the operator docstring and
+    the brute-force-equality pytest)."""
+    from name_matching_spark.operators.dedup import ppjoin_prefix_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 1000
+    )
+    return ppjoin_prefix_pairs(docs, threshold=0.4)
+
+
 def q87_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-linkage data-quality census of the person table: one melt +
     one groupBy yields row/null/exact-distinct counts, lexicographic
@@ -2127,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_spell_correct": q85_spell_correct,
         "q86_tfidf_cosine": q86_tfidf_cosine,
         "q87_profile": q87_profile,
+        "q88_ppjoin": q88_ppjoin,
     }
 
 
@@ -3431,7 +3453,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT doc_id, t.token
                 FROM documents,
                      LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS t(token)
-                WHERE t.token <> ''),
+                WHERE t.token <> '' AND doc_id < 1000),
             th AS (SELECT doc_id,
                           ('0x' || substr(md5(token), 1, 16))::UBIGINT AS u
                    FROM toks),
@@ -4111,6 +4133,28 @@ def oracle_sql() -> dict[str, str]:
         "q84_roc_auc": _q84_oracle(),
         "q85_spell_correct": _q85_oracle(),
         "q87_profile": _q87_oracle(),
+        "q88_ppjoin": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, t.token
+                FROM documents,
+                     LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS t(token)
+                WHERE t.token <> '' AND doc_id < 1000),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                FROM toks a JOIN toks b ON a.token = b.token
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT i.id1, i.id2,
+                   CAST(i.i AS BIGINT) AS intersection,
+                   CAST(s1.sz AS BIGINT) AS size1,
+                   CAST(s2.sz AS BIGINT) AS size2,
+                   i.i / (s1.sz + s2.sz - i.i) AS jaccard
+            FROM inter i
+            JOIN sizes s1 ON s1.doc_id = i.id1
+            JOIN sizes s2 ON s2.doc_id = i.id2
+            WHERE i.i / (s1.sz + s2.sz - i.i) >= 0.4
+        """,
         "q86_tfidf_cosine": "WITH "
         + _minhash_oracle_cte(16)
         + """,

@@ -24,6 +24,7 @@ __all__ = [
     "shingle_jaccard_pairs",
     "shingle_jaccard_rerank",
     "tfidf_cosine_rerank",
+    "ppjoin_prefix_pairs",
     "shingle_containment_rerank",
     "minhash_coefficients",
     "minhash_signatures",
@@ -732,4 +733,81 @@ def tfidf_cosine_rerank(
                 )
             ).alias("cosine"),
         )
+    )
+
+
+def ppjoin_prefix_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity self-join via PPJoin-style prefix
+    filtering (Xiao et al., WWW'08) — recall = 1 WITHOUT LSH and without
+    ``token_jaccard_pairs``'s df-cap guard (which trades recall for skew
+    safety).
+
+    Prefix-filter theorem: order every document's tokens by one global
+    total order (document frequency asc, then token asc — rarest first)
+    and keep each document's first ``|x| - ceil(t*|x|) + 1`` tokens; any
+    pair with J >= t MUST share a prefix token, so the equi-join on prefix
+    tokens is a complete candidate set. Jaccard is then re-computed on the
+    FULL token sets, so emitted values are exact.
+
+    Skew shape: prefix tokens are each document's RAREST tokens, so the
+    candidate join's postings are small by construction — the hot
+    boilerplate tokens that blow up a naive token join never enter a
+    prefix (that is the point of the df-ascending order). Stages: token
+    census, one rank window per document (bounded by document length), one
+    prefix equi-join, one intersection join over candidates — all
+    candidate-linear.
+
+    Output: ``id1, id2, intersection, size1, size2, jaccard`` with
+    ``jaccard >= threshold``.
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize_docs(df, text_col, id_col)
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("token"))
+    pref = (
+        toks.join(dfreq, "token")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("pos")
+            <= F.col("set_size")
+            - F.ceil(F.lit(float(threshold)) * F.col("set_size"))
+            + 1
+        )
+        .select(F.col(id_col).alias("_pid"), "token")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "token")
+        .filter(F.col("a._pid") < F.col("b._pid"))
+        .select(F.col("a._pid").alias("id1"), F.col("b._pid").alias("id2"))
+        .distinct()
+    )
+    t1 = toks.select(F.col(id_col).alias("id1"), "token")
+    t2 = toks.select(F.col(id_col).alias("id2"), "token")
+    inter = (
+        cand.join(t1, "id1")
+        .join(t2, ["id2", "token"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({id_col: "id1", "set_size": "size1"}), "id1"
+        )
+        .join(sizes.withColumnsRenamed({id_col: "id2", "set_size": "size2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("size1") + F.col("size2") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= float(threshold))
+        .select("id1", "id2", "intersection", "size1", "size2", "jaccard")
     )

@@ -572,3 +572,37 @@ def test_tfidf_cosine_rerank_hand_computed(spark):
     assert r12.cosine == r12.dot / (math.sqrt(r12.norm1) * math.sqrt(r12.norm2))
     r13 = rows[(1, 3)]
     assert (r13.dot, r13.cosine) == (0, 0.0)
+
+
+def test_ppjoin_matches_brute_force(spark):
+    """Prefix filter completeness: PPJoin output == exhaustive all-pairs
+    token Jaccard at the same threshold, on a corpus with shared hot
+    tokens ('the') that never enter a prefix."""
+    from name_matching_spark.operators.dedup import ppjoin_prefix_pairs
+
+    docs = [
+        (1, "the quick brown fox"),
+        (2, "the quick brown wolf"),
+        (3, "the slow green turtle"),
+        (4, "the quick brown fox jumps"),
+        (5, "completely different text here"),
+        (6, "the the the"),  # hot-token-only doc (set = {the})
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.75):
+        got = {
+            (r.id1, r.id2, r.intersection, r.jaccard)
+            for r in ppjoin_prefix_pairs(df, threshold=t).collect()
+        }
+        toks = {i: set(s.split()) for i, s in docs}
+        want = set()
+        ids = sorted(toks)
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    i = len(toks[a] & toks[b])
+                    u = len(toks[a] | toks[b])
+                    j = i / u
+                    if j >= t:
+                        want.add((a, b, i, j))
+        assert got == want, (t, got ^ want)
