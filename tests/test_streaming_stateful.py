@@ -92,3 +92,56 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     )
     got = streaming_exact_dedup(batch).collect()
     assert sorted(r["doc_id"] for r in got) == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental linkage (foreachBatch -> assign_to_anchors)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_assign_to_anchors(spark, tmp_path):
+    from name_matching_spark.operators.normalize import LinkageSchema
+    from name_matching_spark.streaming.linkage import streaming_assign_to_anchors
+
+    cols = [
+        "record_id", "first_name", "middle_name_last_name",
+        "birthdate", "province_name", "city_name",
+    ]
+    base = spark.createDataFrame(
+        [
+            ("b1", "Juan", "Reyes Santos", "1990-01-02", "Cebu", "Cebu City"),
+            ("b2", "Maria", "Cruz", "1985-03-04", "Leyte", "Tacloban"),
+        ],
+        cols,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    d1 = spark.createDataFrame(
+        [("n1", "Juan", "Reyes Santos", "1990-01-02", "Cebu", "Cebu City")], cols
+    )
+    d2 = spark.createDataFrame(
+        [("n2", "Zebulon", "Qwerty Zzyzx", "1900-01-01", "Nowhere", "Nowhere City")],
+        cols,
+    )
+    d1.write.parquet(str(src / "b1"))
+    d2.write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(base.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    out_path = str(tmp_path / "out")
+    q = streaming_assign_to_anchors(
+        stream,
+        base,
+        out_path,
+        str(tmp_path / "ckpt"),
+        schema=LinkageSchema(id_col="record_id"),
+        trigger_once=True,
+    )
+    q.awaitTermination(240)
+
+    got = {r.record_id: r for r in spark.read.parquet(out_path).collect()}
+    assert set(got) == {"n1", "n2"}
+    assert got["n1"].anchor_id == "b1" and got["n1"].is_new == 0
+    assert got["n1"].best_score == 1.0
+    assert (got["n2"].anchor_id, got["n2"].is_new) == ("-1", 1)
