@@ -39,6 +39,9 @@ HEADLINE = [
     "q67_mutual_best_match",
     "q72_qgram_cosine",
     "q74_multipass_blocking",
+    "q84_roc_auc",
+    "q86_tfidf_cosine",
+    "q88_ppjoin",
 ]
 
 
