@@ -1425,6 +1425,40 @@ def q88_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppjoin_prefix_pairs(docs, threshold=0.4)
 
 
+def q89_birthdate_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-tolerance comparator over the phonetic-blocked pairs — the
+    standard ER refinement of the reference's birthdate EQUALITY score:
+    exact date 1.0, within 3 days 0.8, month/day transposition 0.7, same
+    month 0.5, same year 0.3, else 0 (first match wins), emitted as exact
+    integer ppm. Pure date arithmetic on both engines (datediff /
+    month / day / year) — no doubles anywhere."""
+    from name_matching_spark.operators.blocking import (
+        blocking_key_column,
+        candidate_pairs_self,
+    )
+    from name_matching_spark.operators.normalize import (
+        LinkageSchema,
+        normalize_records,
+    )
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(
+        person, LinkageSchema(id_col="record_id", geo_fields=[])
+    )
+    from name_matching_spark.functions.columns import date_tolerance_score_ppm
+
+    keyed = norm.withColumn("block_key", blocking_key_column("phonetic"))
+    pairs = candidate_pairs_self(keyed, ["birthdate_std"])
+    d1 = F.to_date(F.col("s1.birthdate_std"))
+    d2 = F.to_date(F.col("s2.birthdate_std"))
+    return pairs.select(
+        "id1",
+        "id2",
+        F.abs(F.datediff(d1, d2)).cast("long").alias("day_diff"),
+        date_tolerance_score_ppm(d1, d2).cast("long").alias("date_score_ppm"),
+    )
+
+
 def q87_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-linkage data-quality census of the person table: one melt +
     one groupBy yields row/null/exact-distinct counts, lexicographic
@@ -2149,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_tfidf_cosine": q86_tfidf_cosine,
         "q87_profile": q87_profile,
         "q88_ppjoin": q88_ppjoin,
+        "q89_birthdate_tolerance": q89_birthdate_tolerance,
     }
 
 
@@ -2784,6 +2819,28 @@ scored AS (SELECT c.word, c.cand, f.freq AS freq, g.freq AS cand_freq,
 SELECT word, cand AS corrected, CAST(freq AS BIGINT) AS freq,
        CAST(cand_freq AS BIGINT) AS corrected_freq
 FROM scored WHERE rn = 1 AND cand <> word AND cand_freq > freq
+"""
+
+
+def _q89_oracle() -> str:
+    """Date-tolerance oracle over the shared linkage pair prefix (pairs
+    carry bd1/bd2); DuckDB DATE - DATE is integer days."""
+    return f"""WITH RECURSIVE {_LINKAGE_ORACLE_PREFIX},
+dated AS (
+    SELECT id1, id2,
+           CAST(bd1 AS DATE) AS d1, CAST(bd2 AS DATE) AS d2
+    FROM pairs)
+SELECT id1, id2,
+       CAST(abs(d1 - d2) AS BIGINT) AS day_diff,
+       CAST(CASE
+           WHEN d1 = d2 THEN 1000000
+           WHEN abs(d1 - d2) <= 3 THEN 800000
+           WHEN year(d1) = year(d2) AND month(d1) = day(d2)
+                AND day(d1) = month(d2) THEN 700000
+           WHEN year(d1) = year(d2) AND month(d1) = month(d2) THEN 500000
+           WHEN year(d1) = year(d2) THEN 300000
+           ELSE 0 END AS BIGINT) AS date_score_ppm
+FROM dated
 """
 
 
@@ -4133,6 +4190,7 @@ def oracle_sql() -> dict[str, str]:
         "q84_roc_auc": _q84_oracle(),
         "q85_spell_correct": _q85_oracle(),
         "q87_profile": _q87_oracle(),
+        "q89_birthdate_tolerance": _q89_oracle(),
         "q88_ppjoin": """
             WITH toks AS (
                 SELECT DISTINCT doc_id, t.token

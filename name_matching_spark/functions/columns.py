@@ -18,6 +18,7 @@ __all__ = [
     "strip_name_suffixes",
     "token_set_jaccard",
     "soundex_equal",
+    "date_tolerance_score_ppm",
     "PREFIX_RE",
     "SUFFIX_RE",
 ]
@@ -83,3 +84,25 @@ def token_set_jaccard(c1: Column, c2: Column) -> Column:
 def soundex_equal(c1: Column, c2: Column) -> Column:
     """F6: 1.0 iff reference soundex codes match (``src/matcher.py:434-450``)."""
     return F.when(soundex_udf(c1) == soundex_udf(c2), 1.0).otherwise(0.0)
+
+
+def date_tolerance_score_ppm(d1: Column, d2: Column) -> Column:
+    """Date-tolerance comparator (exact integer ppm): the standard ER
+    refinement of plain birthdate equality. First match wins:
+    equal 1.0; within 3 days 0.8; month/day transposition (same year) 0.7;
+    same year+month 0.5; same year 0.3; else 0. Inputs are DATE columns;
+    pure JVM date arithmetic (whole-stage codegen, no UDF)."""
+    diff = F.abs(F.datediff(d1, d2))
+    return (
+        F.when(diff == 0, 1000000)
+        .when(diff <= 3, 800000)
+        .when(
+            (F.year(d1) == F.year(d2))
+            & (F.month(d1) == F.dayofmonth(d2))
+            & (F.dayofmonth(d1) == F.month(d2)),
+            700000,
+        )
+        .when((F.year(d1) == F.year(d2)) & (F.month(d1) == F.month(d2)), 500000)
+        .when(F.year(d1) == F.year(d2), 300000)
+        .otherwise(0)
+    )

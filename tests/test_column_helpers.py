@@ -167,3 +167,24 @@ def test_profile_columns_nulls_and_distinct(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         profile_columns(df, [])
+
+
+def test_date_tolerance_score_ppm(spark):
+    from name_matching_spark.functions.columns import date_tolerance_score_ppm
+
+    cases = [
+        ("1990-05-10", "1990-05-10", 1000000),  # equal
+        ("1990-05-10", "1990-05-12", 800000),   # within 3 days
+        ("1990-04-03", "1990-03-04", 700000),   # month/day transposed
+        ("1990-05-10", "1990-05-25", 500000),   # same month
+        ("1990-05-10", "1990-11-02", 300000),   # same year
+        ("1990-05-10", "1991-05-10", 0),        # nothing
+        ("1990-01-02", "1990-02-01", 700000),   # transposed beats same-year
+    ]
+    df = spark.createDataFrame(cases, "a string, b string, want long")
+    got = df.select(
+        "want",
+        date_tolerance_score_ppm(F.to_date("a"), F.to_date("b")).alias("got"),
+    ).collect()
+    for r in got:
+        assert r.got == r.want
