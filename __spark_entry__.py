@@ -1459,6 +1459,39 @@ def q89_birthdate_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_block_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-size histogram of the phonetic blocking key: how many blocks
+    exist at each size — THE census a 100 TB run reads before choosing
+    ``hot_block_cap`` (pairs scale as size², so the histogram's tail IS
+    the skew budget). Two tiny groupBys over the record frame."""
+    from name_matching_spark.operators.blocking import blocking_key_column
+    from name_matching_spark.operators.normalize import (
+        LinkageSchema,
+        normalize_records,
+    )
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(
+        person, LinkageSchema(id_col="record_id", geo_fields=[])
+    )
+    keyed = norm.withColumn("block_key", blocking_key_column("phonetic"))
+    census = keyed.groupBy("block_key").agg(F.count(F.lit(1)).alias("block_size"))
+    return (
+        census.groupBy("block_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.expr(
+                "CAST(count(1) * block_size * (block_size - 1) DIV 2 AS BIGINT)"
+            ).alias("pairs_at_size"),
+        )
+        .select(
+            F.col("block_size").cast("long").alias("block_size"),
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            "pairs_at_size",
+        )
+    )
+
+
 def q87_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-linkage data-quality census of the person table: one melt +
     one groupBy yields row/null/exact-distinct counts, lexicographic
@@ -2184,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_profile": q87_profile,
         "q88_ppjoin": q88_ppjoin,
         "q89_birthdate_tolerance": q89_birthdate_tolerance,
+        "q90_block_histogram": q90_block_histogram,
     }
 
 
@@ -4191,6 +4225,15 @@ def oracle_sql() -> dict[str, str]:
         "q85_spell_correct": _q85_oracle(),
         "q87_profile": _q87_oracle(),
         "q89_birthdate_tolerance": _q89_oracle(),
+        "q90_block_histogram": f"""WITH {_LINKAGE_ORACLE_PREFIX},
+            census AS (SELECT block_key, count(*) AS block_size
+                       FROM keyed GROUP BY 1)
+            SELECT CAST(block_size AS BIGINT) AS block_size,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(count(*) * (block_size * (block_size - 1) // 2)
+                        AS BIGINT) AS pairs_at_size
+            FROM census GROUP BY block_size
+        """,
         "q88_ppjoin": """
             WITH toks AS (
                 SELECT DISTINCT doc_id, t.token
