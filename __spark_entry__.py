@@ -1459,6 +1459,53 @@ def q89_birthdate_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q91_repo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-repo code-clone report (MOSS-style) over the north-rule code
+    table: winnowing fingerprints per file (q34's guarantee: any shared
+    run of window+k-1 chars shares a fingerprint), lifted to repo pairs —
+    shared distinct fingerprints, per-repo set sizes, Jaccard as integer
+    ppm. Exact-sha dedup (q68) finds verbatim copies; this finds the
+    NEAR-copies (vendored-and-patched files). Plan: fingerprint window per
+    file, distinct (repo, fp), one equi-join on the fingerprint (postings
+    per fp <= #repos), one groupBy — content-addressed, nothing quadratic
+    in repo size."""
+    from name_matching_spark.operators.dedup import winnowing_fingerprints
+
+    files = _code_files_df(spark, sf_dir).select(
+        F.col("commit_seq").alias("doc_id"), "repo", "content"
+    )
+    fps = winnowing_fingerprints(files, text_col="content")
+    rfp = (
+        fps.join(files.select("doc_id", "repo"), "doc_id")
+        .select("repo", "fingerprint")
+        .distinct()
+    )
+    sizes = rfp.groupBy("repo").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        rfp.alias("a")
+        .join(rfp.alias("b"), "fingerprint")
+        .filter(F.col("a.repo") < F.col("b.repo"))
+        .groupBy(F.col("a.repo").alias("repo1"), F.col("b.repo").alias("repo2"))
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnsRenamed({"repo": "repo1", "n_fp": "n1"}), "repo1"
+        )
+        .join(sizes.withColumnsRenamed({"repo": "repo2", "n_fp": "n2"}), "repo2")
+        .select(
+            "repo1",
+            "repo2",
+            F.col("shared_fp").cast("long").alias("shared_fp"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.expr(
+                "CAST(shared_fp * 1000000 DIV (n1 + n2 - shared_fp) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
 def q90_block_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-size histogram of the phonetic blocking key: how many blocks
     exist at each size — THE census a 100 TB run reads before choosing
@@ -2218,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_ppjoin": q88_ppjoin,
         "q89_birthdate_tolerance": q89_birthdate_tolerance,
         "q90_block_histogram": q90_block_histogram,
+        "q91_repo_overlap": q91_repo_overlap,
     }
 
 
@@ -4225,6 +4273,45 @@ def oracle_sql() -> dict[str, str]:
         "q85_spell_correct": _q85_oracle(),
         "q87_profile": _q87_oracle(),
         "q89_birthdate_tolerance": _q89_oracle(),
+        "q91_repo_overlap": """
+            WITH d AS (SELECT doc_id,
+                              'org-' || CAST(doc_id % 5 AS VARCHAR) || '/' ||
+                                  CASE doc_id % 3 WHEN 0 THEN 'parser'
+                                       WHEN 1 THEN 'web-app'
+                                       ELSE 'core-lib' END AS repo,
+                              lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+                       FROM documents),
+            pos AS (SELECT doc_id, repo, n,
+                           unnest(range(1, greatest(length(n) - 4, 1) + 1)) AS i
+                    FROM d),
+            sh AS (SELECT doc_id, repo, i,
+                          substr(md5(substr(n, i, 5)), 1, 16) AS h
+                   FROM pos),
+            win AS (SELECT doc_id, repo, i,
+                           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                           count(*) OVER (PARTITION BY doc_id) AS nsh
+                    FROM sh),
+            rfp AS (SELECT DISTINCT repo, wmin AS fingerprint
+                    FROM win WHERE i <= nsh - 4 + 1),
+            sizes AS (SELECT repo, count(*) AS n FROM rfp GROUP BY 1),
+            shared AS (SELECT a.repo AS repo1, b.repo AS repo2,
+                              count(*) AS shared_fp
+                       FROM rfp a
+                       JOIN rfp b ON a.fingerprint = b.fingerprint
+                                 AND a.repo < b.repo
+                       GROUP BY 1, 2)
+            SELECT s.repo1, s.repo2,
+                   CAST(s.shared_fp AS BIGINT) AS shared_fp,
+                   CAST(z1.n AS BIGINT) AS n1,
+                   CAST(z2.n AS BIGINT) AS n2,
+                   CAST(s.shared_fp * 1000000
+                        // (z1.n + z2.n - s.shared_fp) AS BIGINT)
+                       AS jaccard_ppm
+            FROM shared s
+            JOIN sizes z1 ON z1.repo = s.repo1
+            JOIN sizes z2 ON z2.repo = s.repo2
+        """,
         "q90_block_histogram": f"""WITH {_LINKAGE_ORACLE_PREFIX},
             census AS (SELECT block_key, count(*) AS block_size
                        FROM keyed GROUP BY 1)
