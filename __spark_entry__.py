@@ -1459,6 +1459,44 @@ def q89_birthdate_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q92_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table for the EM posterior: fixed-width
+    probability buckets (decile of the exact 2^-30 integer — ntile would
+    be tie-order-nondeterministic across engines, fixed-width is not) vs
+    the observed match rate in each bucket, exact integer ppm. The
+    judge-the-scorer artifact reviewers read next to q84's AUC."""
+    from name_matching_spark.operators.probabilistic import (
+        em_estimate,
+        em_match_probability,
+    )
+
+    lab = _fs_labeled_pairs(spark, sf_dir)
+    params = em_estimate(lab.drop("true_label"), _FS_FIELDS, n_iter=2)
+    out = em_match_probability(lab, params, _FS_FIELDS)
+    bucket = F.least(
+        F.expr(f"CAST(match_q30 * 10 DIV {1 << 30} AS BIGINT)"), F.lit(9)
+    )
+    return (
+        out.select(
+            bucket.alias("bucket"),
+            (F.col("true_label") == "match").alias("is_match"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_match"),
+        )
+        .select(
+            "bucket",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_match").cast("long").alias("n_match"),
+            F.expr(
+                "CAST(n_match * 1000000 DIV n_pairs AS BIGINT)"
+            ).alias("match_rate_ppm"),
+        )
+    )
+
+
 def q91_repo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-repo code-clone report (MOSS-style) over the north-rule code
     table: winnowing fingerprints per file (q34's guarantee: any shared
@@ -2266,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_birthdate_tolerance": q89_birthdate_tolerance,
         "q90_block_histogram": q90_block_histogram,
         "q91_repo_overlap": q91_repo_overlap,
+        "q92_calibration": q92_calibration,
     }
 
 
@@ -2924,6 +2963,27 @@ SELECT id1, id2,
            ELSE 0 END AS BIGINT) AS date_score_ppm
 FROM dated
 """
+
+
+def _q92_oracle() -> str:
+    """Calibration oracle: q79's chain + fixed-width q30 deciles."""
+    chain, estep = _em_oracle_chain()
+    S = 1 << 30
+    return chain + f""",
+        sc AS (SELECT p.is_match,
+                      CAST(floor({estep} * {float(S)!r}::DOUBLE) AS BIGINT)
+                          AS match_q30
+               FROM fs_pairs p CROSS JOIN par2),
+        bk AS (SELECT least(match_q30 * 10 // {S}, 9) AS bucket, is_match
+               FROM sc)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_match,
+               CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) * 1000000
+                    // count(*) AS BIGINT) AS match_rate_ppm
+        FROM bk GROUP BY 1
+    """
 
 
 def _q87_oracle() -> str:
@@ -4312,6 +4372,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes z1 ON z1.repo = s.repo1
             JOIN sizes z2 ON z2.repo = s.repo2
         """,
+        "q92_calibration": _q92_oracle(),
         "q90_block_histogram": f"""WITH {_LINKAGE_ORACLE_PREFIX},
             census AS (SELECT block_key, count(*) AS block_size
                        FROM keyed GROUP BY 1)
