@@ -260,9 +260,18 @@ def mutual_best_match(
             )
         ).alias("_e"),
     ).select(F.col("_e._src").alias("_src"), F.col("_e._dst").alias("_dst"), "_s")
-    w = Window.partitionBy("_src").orderBy(F.desc("_s"), F.asc("_dst"))
-    best = directed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") == 1
+    # per-record best via min_by on the (-score, partner) struct — same
+    # (score desc, partner asc) tie-break as a ranking window, but an
+    # AGGREGATE: map-side partial combining ships one row per record per
+    # mapper instead of sorting the whole mirrored pair stream through
+    # one shuffle (the window carries every row)
+    best = directed.groupBy("_src").agg(
+        F.min_by(
+            F.struct(F.col("_dst"), F.col("_s")),
+            F.struct((-F.col("_s")).alias("_negs"), F.col("_dst")),
+        ).alias("_b")
+    ).select(
+        "_src", F.col("_b._dst").alias("_dst"), F.col("_b._s").alias("_s")
     )
     # a reciprocal pair contributes exactly two best-edges — one per
     # orientation, from two distinct _src partitions — so grouping by the
