@@ -293,14 +293,22 @@ def assign_to_anchors(
         blocking=blocking, matcher=matcher, keep_non_match=True,
     )
     cand = scored.filter(F.col("score") >= F.lit(float(thr)))
-    w = Window.partitionBy("id1").orderBy(F.desc("score"), F.asc("id2"))
+    # per-delta-record best anchor as a min_by AGGREGATE on the
+    # (-score, id2) struct — identical (score desc, id2 asc) tie-break to
+    # a ranking window, but map-side combining ships one row per delta
+    # record per mapper instead of the whole candidate stream
     best = (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        cand.groupBy("id1")
+        .agg(
+            F.min_by(
+                F.struct(F.col("id2"), F.col("score")),
+                F.struct((-F.col("score")).alias("_negs"), F.col("id2")),
+            ).alias("_b")
+        )
         .select(
-            F.col("id1"),
-            F.col("id2").alias("_anchor"),
-            F.col("score").alias("best_score"),
+            "id1",
+            F.col("_b.id2").alias("_anchor"),
+            F.col("_b.score").alias("best_score"),
         )
     )
     sch = schema or LinkageSchema()
