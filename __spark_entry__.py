@@ -1459,6 +1459,30 @@ def q89_birthdate_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q93_nysiis_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NYSIIS-style phonetic canonicalization — third member of the
+    phonetic blocking-key family (soundex q11, metaphone q54): prefix /
+    suffix / body transforms as ONE ordered rule table rendered to both
+    engines (``functions/phonetic.nysiis_key`` / ``nysiis_sql``). Emits
+    per-record codes plus the composite key of the ``nysiis`` blocking
+    pass. Pure JVM regexp fold — map-only at any scale."""
+    from name_matching_spark.functions.phonetic import nysiis_key
+    from name_matching_spark.functions.udfs import parse_name_udf, standardize_udf
+
+    person = _person_df(spark, sf_dir)
+    parsed = person.withColumn(
+        "_p", parse_name_udf(F.col("first_name"), F.col("middle_name_last_name"))
+    )
+    ny_last = nysiis_key(standardize_udf(F.col("_p.last_name")))
+    first_char = F.upper(F.substring(standardize_udf(F.col("first_name")), 1, 1))
+    return parsed.select(
+        "record_id",
+        nysiis_key(standardize_udf(F.col("first_name"))).alias("ny_first"),
+        ny_last.alias("ny_last"),
+        F.concat_ws("|", first_char, ny_last).alias("block_key"),
+    )
+
+
 def q92_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration (reliability) table for the EM posterior: fixed-width
     probability buckets (decile of the exact 2^-30 integer — ntile would
@@ -2305,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_block_histogram": q90_block_histogram,
         "q91_repo_overlap": q91_repo_overlap,
         "q92_calibration": q92_calibration,
+        "q93_nysiis_keys": q93_nysiis_keys,
     }
 
 
@@ -2962,6 +2987,22 @@ SELECT id1, id2,
            WHEN year(d1) = year(d2) THEN 300000
            ELSE 0 END AS BIGINT) AS date_score_ppm
 FROM dated
+"""
+
+
+def _q93_oracle() -> str:
+    """NYSIIS oracle: the SAME rule tables rendered as DuckDB SQL."""
+    from name_matching_spark.functions.phonetic import nysiis_sql
+
+    return f"""WITH person AS ({PERSON_SQL}),
+base AS (SELECT record_id, first_name, {_ORACLE_LAST} AS last_std
+         FROM person)
+SELECT record_id,
+       {nysiis_sql('first_name')} AS ny_first,
+       {nysiis_sql('last_std')} AS ny_last,
+       upper(substr(first_name, 1, 1)) || '|' || {nysiis_sql('last_std')}
+           AS block_key
+FROM base
 """
 
 
@@ -4373,6 +4414,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes z2 ON z2.repo = s.repo2
         """,
         "q92_calibration": _q92_oracle(),
+        "q93_nysiis_keys": _q93_oracle(),
         "q90_block_histogram": f"""WITH {_LINKAGE_ORACLE_PREFIX},
             census AS (SELECT block_key, count(*) AS block_size
                        FROM keyed GROUP BY 1)

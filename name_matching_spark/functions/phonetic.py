@@ -26,7 +26,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["METAPHONE_RULES", "metaphone_key", "metaphone_sql", "MAX_CODE_LEN"]
+__all__ = [
+    "METAPHONE_RULES",
+    "metaphone_key",
+    "metaphone_sql",
+    "MAX_CODE_LEN",
+    "NYSIIS_PREFIX_RULES",
+    "NYSIIS_SUFFIX_RULES",
+    "NYSIIS_BODY_RULES",
+    "nysiis_key",
+    "nysiis_sql",
+    "NYSIIS_MAX_LEN",
+]
 
 MAX_CODE_LEN = 8
 
@@ -134,3 +145,94 @@ def add_metaphone_keys(
     for src, out in cols.items():
         df = df.withColumn(out, metaphone_key(F.col(src)))
     return df
+
+
+# ---------------------------------------------------------------------------
+# NYSIIS-style code — second member of the phonetic family (same design
+# contract as the metaphone above: ONE ordered rule table rendered to both
+# engines; "style, not bug-for-bug" — the property that matters is that
+# spelling variants collapse to one key, pinned in tests).
+# ---------------------------------------------------------------------------
+
+# Applied to the uppercased, letters-only input, top to bottom. ORDER IS
+# SEMANTIC. RE2-safe: no lookarounds, no pattern backrefs.
+NYSIIS_PREFIX_RULES: list[tuple[str, str]] = [
+    ("^MAC", "MCC"),
+    ("^KN", "NN"),
+    ("^K", "C"),
+    ("^PH", "FF"),
+    ("^PF", "FF"),
+    ("^SCH", "SSS"),
+]
+NYSIIS_SUFFIX_RULES: list[tuple[str, str]] = [
+    ("EE$", "Y"),
+    ("IE$", "Y"),
+    ("DT$", "D"),
+    ("RT$", "D"),
+    ("RD$", "D"),
+    ("NT$", "D"),
+    ("ND$", "D"),
+]
+# body folds (classic NYSIIS position->2 transforms, applied to the rest
+# after the first character is saved): EV before the vowel collapse;
+# H adjacent to a consonant collapses into its neighbor (the classic
+# "H becomes previous char" + run collapse is equivalent to dropping it);
+# W after a vowel merges into the vowel.
+NYSIIS_BODY_RULES: list[tuple[str, str]] = [
+    ("EV", "AF"),
+    ("[AEIOU]", "A"),
+    ("Q", "G"),
+    ("Z", "S"),
+    ("M", "N"),
+    ("KN", "N"),
+    ("K", "C"),
+    ("SCH", "SSS"),
+    ("PH", "FF"),
+    ("([^A])H", "$1"),
+    ("H([^A])", "$1"),
+    ("AW", "A"),
+]
+NYSIIS_MAX_LEN = 6
+_NYSIIS_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def nysiis_key(col: Column, max_len: int = NYSIIS_MAX_LEN) -> Column:
+    """NYSIIS-style code as a pure column expression: prefix/suffix
+    transforms -> save first char -> body folds on the rest -> collapse
+    runs -> trailing S / AY -> Y / trailing A rules -> truncate.
+    NULL-safe (NULL -> '')."""
+    k = F.regexp_replace(F.upper(F.coalesce(col, F.lit(""))), "[^A-Z]", "")
+    for pat, repl in NYSIIS_PREFIX_RULES:
+        k = F.regexp_replace(k, pat, repl)
+    for pat, repl in NYSIIS_SUFFIX_RULES:
+        k = F.regexp_replace(k, pat, repl)
+    body = F.substring(k, 2, 2147483647)
+    for pat, repl in NYSIIS_BODY_RULES:
+        body = F.regexp_replace(body, pat, repl)
+    k = F.concat(F.substring(k, 1, 1), body)
+    for ch in _NYSIIS_ALPHABET:
+        k = F.regexp_replace(k, f"{ch}{{2,}}", ch)
+    k = F.regexp_replace(k, "S$", "")
+    k = F.regexp_replace(k, "AY$", "Y")
+    k = F.regexp_replace(k, "A$", "")
+    return F.substring(k, 1, max_len)
+
+
+def nysiis_sql(expr: str, max_len: int = NYSIIS_MAX_LEN) -> str:
+    """DuckDB rendition of :func:`nysiis_key`, generated from the SAME
+    rule tables so the engines cannot diverge."""
+    k = f"regexp_replace(upper(coalesce({expr}, '')), '[^A-Z]', '', 'g')"
+    for pat, repl in NYSIIS_PREFIX_RULES:
+        k = f"regexp_replace({k}, '{pat}', '{_sql_repl(repl)}', 'g')"
+    for pat, repl in NYSIIS_SUFFIX_RULES:
+        k = f"regexp_replace({k}, '{pat}', '{_sql_repl(repl)}', 'g')"
+    body = f"substr({k}, 2)"
+    for pat, repl in NYSIIS_BODY_RULES:
+        body = f"regexp_replace({body}, '{pat}', '{_sql_repl(repl)}', 'g')"
+    k = f"substr({k}, 1, 1) || {body}"
+    for ch in _NYSIIS_ALPHABET:
+        k = f"regexp_replace({k}, '{ch}{{2,}}', '{ch}', 'g')"
+    k = f"regexp_replace({k}, 'S$', '', 'g')"
+    k = f"regexp_replace({k}, 'AY$', 'Y', 'g')"
+    k = f"regexp_replace({k}, 'A$', '', 'g')"
+    return f"substr({k}, 1, {max_len})"

@@ -80,6 +80,13 @@ def blocking_key_column(kind: str) -> Column:
         first_char = F.when(first_char == "", "UNKNOWN").otherwise(first_char)
         mp = metaphone_key(F.col("last_std"))
         return F.concat_ws("|", first_char, F.when(mp == "", "0000").otherwise(mp))
+    if kind == "nysiis":
+        from name_matching_spark.functions.phonetic import nysiis_key
+
+        first_char = F.upper(F.substring(F.col("first_std"), 1, 1))
+        first_char = F.when(first_char == "", "UNKNOWN").otherwise(first_char)
+        ny = nysiis_key(F.col("last_std"))
+        return F.concat_ws("|", first_char, F.when(ny == "", "0000").otherwise(ny))
     raise ValueError(f"unknown blocking pass: {kind}")
 
 

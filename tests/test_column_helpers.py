@@ -188,3 +188,33 @@ def test_date_tolerance_score_ppm(spark):
     ).collect()
     for r in got:
         assert r.got == r.want
+
+
+def test_nysiis_variants_collapse(spark):
+    from name_matching_spark.functions.phonetic import nysiis_key
+
+    pairs_same = [
+        ("BROWN", "BRAUN"),
+        ("PHILIP", "FILIP"),
+        ("MACDONALD", "MCDONALD"),
+        ("KNOWLES", "NOWLES"),
+        ("STEPHEN", "STEVEN"),
+    ]
+    rows = [(a, b) for a, b in pairs_same]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(
+        "a", "b",
+        nysiis_key(F.col("a")).alias("ka"),
+        nysiis_key(F.col("b")).alias("kb"),
+    ).collect()
+    for r in got:
+        assert r.ka == r.kb, (r.a, r.b, r.ka, r.kb)
+    # distinct names stay distinct
+    df2 = spark.createDataFrame([("SANTOS", "GARCIA")], "a string, b string")
+    r2 = df2.select(
+        nysiis_key(F.col("a")).alias("ka"), nysiis_key(F.col("b")).alias("kb")
+    ).collect()[0]
+    assert r2.ka != r2.kb
+    # NULL-safe
+    df3 = spark.createDataFrame([(None,)], "a string")
+    assert df3.select(nysiis_key(F.col("a")).alias("k")).collect()[0].k == ""
