@@ -2084,8 +2084,15 @@ def q74_multipass_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
 
     person = _person_df(spark, sf_dir)
+    # keyed is consumed by FIVE join arms (2 equality passes x 2 sides +
+    # SNM): spread before the UDFs and checkpoint the record frame so the
+    # normalize chain runs once (the q67/_fs_labeled_pairs lesson)
+    sc = spark.sparkContext
+    if person.rdd.getNumPartitions() < sc.defaultParallelism:
+        person = person.repartition(sc.defaultParallelism)
     norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
     keyed = norm.withColumn("block_key", blocking_key_column("phonetic"))
+    keyed = keyed.localCheckpoint(eager=False)
 
     def self_pairs(key: str) -> DataFrame:
         a, b = keyed.alias("a"), keyed.alias("b")
