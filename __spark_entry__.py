@@ -1459,6 +1459,74 @@ def q89_birthdate_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q94_pair_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair completeness (blocking recall) + reduction ratio — THE two
+    numbers that justify a blocking scheme (Christen's evaluation pair):
+    of all true duplicate pairs (proxy truth: equal token-sorted names),
+    how many does phonetic blocking retain, and what fraction of the
+    quadratic comparison space does it prune. True-pair count comes from
+    the truth-key census (sum k·(k-1)/2 — never materialized), captured
+    count from one flag sum over the blocked pairs; exact integer ppm."""
+    from name_matching_spark.operators.blocking import (
+        blocking_key_column,
+        candidate_pairs_self,
+    )
+    from name_matching_spark.operators.normalize import (
+        LinkageSchema,
+        normalize_records,
+    )
+
+    person = _person_df(spark, sf_dir)
+    sc = spark.sparkContext
+    if person.rdd.getNumPartitions() < sc.defaultParallelism:
+        person = person.repartition(sc.defaultParallelism)
+    norm = normalize_records(
+        person, LinkageSchema(id_col="record_id", geo_fields=[])
+    )
+    keyed = norm.withColumn(
+        "block_key", blocking_key_column("phonetic")
+    ).localCheckpoint(eager=False)
+    n = keyed.agg(F.count(F.lit(1)).alias("n_records"))
+    truth = (
+        keyed.groupBy("sorted_full")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.sum(F.expr("k * (k - 1) DIV 2")).cast("long").alias("true_pairs")
+        )
+    )
+    pairs = candidate_pairs_self(keyed, ["sorted_full"])
+    bp = pairs.agg(
+        F.count(F.lit(1)).alias("blocked_pairs"),
+        F.sum(
+            F.when(
+                F.col("s1.sorted_full") == F.col("s2.sorted_full"), 1
+            ).otherwise(0)
+        ).alias("captured_true_pairs"),
+    )
+    return (
+        n.crossJoin(truth)
+        .crossJoin(bp)
+        .select(
+            F.col("n_records").cast("long").alias("n_records"),
+            F.expr(
+                "CAST(n_records * (n_records - 1) DIV 2 AS BIGINT)"
+            ).alias("possible_pairs"),
+            F.col("blocked_pairs").cast("long").alias("blocked_pairs"),
+            "true_pairs",
+            F.col("captured_true_pairs").cast("long").alias("captured_true_pairs"),
+            F.expr(
+                "CAST(captured_true_pairs * 1000000 DIV greatest(true_pairs, 1) "
+                "AS BIGINT)"
+            ).alias("pair_completeness_ppm"),
+            F.expr(
+                "CAST((n_records * (n_records - 1) DIV 2 - blocked_pairs) "
+                "* 1000000 DIV greatest(n_records * (n_records - 1) DIV 2, 1) "
+                "AS BIGINT)"
+            ).alias("reduction_ratio_ppm"),
+        )
+    )
+
+
 def q93_nysiis_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NYSIIS-style phonetic canonicalization — third member of the
     phonetic blocking-key family (soundex q11, metaphone q54): prefix /
@@ -2337,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_repo_overlap": q91_repo_overlap,
         "q92_calibration": q92_calibration,
         "q93_nysiis_keys": q93_nysiis_keys,
+        "q94_pair_completeness": q94_pair_completeness,
     }
 
 
@@ -4422,6 +4491,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q92_calibration": _q92_oracle(),
         "q93_nysiis_keys": _q93_oracle(),
+        "q94_pair_completeness": f"""WITH {_LINKAGE_ORACLE_PREFIX},
+            n AS (SELECT count(*) AS n_records FROM keyed),
+            truth AS (SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT)
+                          AS true_pairs
+                      FROM (SELECT count(*) AS k FROM keyed
+                            GROUP BY sorted_full)),
+            bp AS (SELECT count(*) AS blocked_pairs,
+                          sum(CASE WHEN sf1 = sf2 THEN 1 ELSE 0 END)
+                              AS captured_true_pairs
+                   FROM pairs)
+            SELECT CAST(n.n_records AS BIGINT) AS n_records,
+                   CAST(n.n_records * (n.n_records - 1) // 2 AS BIGINT)
+                       AS possible_pairs,
+                   CAST(bp.blocked_pairs AS BIGINT) AS blocked_pairs,
+                   truth.true_pairs,
+                   CAST(bp.captured_true_pairs AS BIGINT)
+                       AS captured_true_pairs,
+                   CAST(bp.captured_true_pairs * 1000000
+                        // greatest(truth.true_pairs, 1) AS BIGINT)
+                       AS pair_completeness_ppm,
+                   CAST((n.n_records * (n.n_records - 1) // 2
+                         - bp.blocked_pairs) * 1000000
+                        // greatest(n.n_records * (n.n_records - 1) // 2, 1)
+                        AS BIGINT) AS reduction_ratio_ppm
+            FROM n, truth, bp
+        """,
         "q90_block_histogram": f"""WITH {_LINKAGE_ORACLE_PREFIX},
             census AS (SELECT block_key, count(*) AS block_size
                        FROM keyed GROUP BY 1)
