@@ -103,3 +103,59 @@ def test_asof_and_interval_join_plans_have_no_cartesian(spark):
     # (hashpartitioning on user_id) below it feeds sort+window
     asof_plan = _formatted_plan(e.queries()["q47_asof_join"](spark, "/root/testdata/sf0.001"))
     assert _node_count(asof_plan, "Window") == 1
+
+
+def test_symspell_join_is_equi_join(spark):
+    """The delete-1 neighborhood join must stay an equi-join on the
+    variant string — no cartesian/broadcast-nested-loop shape."""
+    from name_matching_spark.operators.blocking import symspell_delete1_pairs
+
+    df = spark.createDataFrame(
+        [(w,) for w in ("juan", "juna", "maria", "mara")], "word string"
+    )
+    plan = _formatted_plan(symspell_delete1_pairs(df))
+    assert _node_count(plan, "CartesianProduct") == 0, plan
+    assert _node_count(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_ppjoin_is_candidate_linear(spark):
+    """PPJoin's joins are all equi-joins (prefix token, then id-keyed
+    intersection joins) — never a cross product."""
+    from name_matching_spark.operators.dedup import ppjoin_prefix_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y z")], "doc_id long, text string"
+    )
+    plan = _formatted_plan(ppjoin_prefix_pairs(df, threshold=0.5))
+    assert _node_count(plan, "CartesianProduct") == 0, plan
+    assert _node_count(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_mutual_best_match_is_aggregate_not_window(spark):
+    """Per-record best must be the map-side-combining aggregate — a
+    ranking window here re-sorts the whole mirrored pair stream."""
+    from name_matching_spark.operators.score_pairs import mutual_best_match
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8)], "id1 long, id2 long, score double"
+    )
+    plan = _formatted_plan(mutual_best_match(pairs))
+    assert _node_count(plan, "Window") == 0, plan
+    assert _node_count(plan, "HashAggregate") >= 1, plan
+
+
+def test_roc_auc_window_sees_census_not_rows(spark):
+    """The AUC rank window must run AFTER the per-score-value census
+    aggregate (distinct scores only) — window directly over the pair
+    stream is the 100 TB anti-pattern."""
+    from name_matching_spark.operators.evaluation import roc_auc
+
+    pairs = spark.createDataFrame(
+        [(i, i % 3 == 0, i % 5) for i in range(50)],
+        "id long, is_match boolean, score long",
+    )
+    plan = _formatted_plan(roc_auc(pairs, "score"))
+    # aggregate (census) must appear below the window in the plan tree:
+    # the window's child chain contains a HashAggregate
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], plan
