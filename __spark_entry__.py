@@ -1459,6 +1459,86 @@ def q89_birthdate_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_pass_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pass marginal value of multi-pass blocking: for each pass
+    (phonetic / token-sort / SNM), its pair count, how many true pairs it
+    captures (proxy truth: equal token-sorted names), how many pairs ONLY
+    it contributes, and its solo recall in exact ppm — the 'which pass
+    earns its cost' report read next to q94's overall completeness.
+    Builds on q74's provenance flags; one explode + one groupBy."""
+    from name_matching_spark.operators.normalize import (
+        LinkageSchema,
+        normalize_records,
+    )
+
+    flags = q74_multipass_blocking(spark, sf_dir)
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(
+        person, LinkageSchema(id_col="record_id", geo_fields=[])
+    ).select("record_id", "sorted_full")
+    t = (
+        flags.join(
+            norm.withColumnsRenamed(
+                {"record_id": "id1", "sorted_full": "_sf1"}
+            ),
+            "id1",
+        )
+        .join(
+            norm.withColumnsRenamed(
+                {"record_id": "id2", "sorted_full": "_sf2"}
+            ),
+            "id2",
+        )
+        .withColumn("is_true", F.col("_sf1") == F.col("_sf2"))
+    )
+    truth = (
+        norm.groupBy("sorted_full")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.sum(F.expr("k * (k - 1) DIV 2")).cast("long").alias("true_pairs"))
+    )
+    long = t.select(
+        "n_passes",
+        "is_true",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("phonetic").alias("pass_name"),
+                    F.col("in_phonetic").alias("inp"),
+                ),
+                F.struct(
+                    F.lit("tokensort").alias("pass_name"),
+                    F.col("in_tokensort").alias("inp"),
+                ),
+                F.struct(
+                    F.lit("snm").alias("pass_name"), F.col("in_snm").alias("inp")
+                ),
+            )
+        ).alias("_e"),
+    ).select("_e.pass_name", "_e.inp", "n_passes", "is_true").filter(
+        F.col("inp") == 1
+    )
+    agg = long.groupBy("pass_name").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("captured_true"),
+        F.sum(F.when(F.col("n_passes") == 1, 1).otherwise(0)).alias(
+            "unique_pairs"
+        ),
+        F.sum(
+            F.when((F.col("n_passes") == 1) & F.col("is_true"), 1).otherwise(0)
+        ).alias("unique_true"),
+    )
+    return agg.crossJoin(truth).select(
+        "pass_name",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("captured_true").cast("long").alias("captured_true"),
+        F.col("unique_pairs").cast("long").alias("unique_pairs"),
+        F.col("unique_true").cast("long").alias("unique_true"),
+        F.expr(
+            "CAST(captured_true * 1000000 DIV greatest(true_pairs, 1) AS BIGINT)"
+        ).alias("solo_recall_ppm"),
+    )
+
+
 def q94_pair_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair completeness (blocking recall) + reduction ratio — THE two
     numbers that justify a blocking scheme (Christen's evaluation pair):
@@ -2406,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_calibration": q92_calibration,
         "q93_nysiis_keys": q93_nysiis_keys,
         "q94_pair_completeness": q94_pair_completeness,
+        "q95_pass_contribution": q95_pass_contribution,
     }
 
 
@@ -3165,6 +3246,42 @@ def _q84_oracle() -> str:
                     // (n_pos * n_neg) AS BIGINT) AS auc_ppm
         FROM agg
     """
+
+
+_Q74_ORACLE_CHAIN = _PERSON_CTE + f""",
+            named AS (SELECT record_id,
+                             {_SORTED_FULL_SQL} AS sorted_full,
+                             upper(substr(first_name, 1, 1)) || '|' ||
+                                 {_sdx_sql(_ORACLE_LAST)} AS block_key
+                      FROM person),
+            p1 AS (SELECT a.record_id AS id1, b.record_id AS id2,
+                          'phonetic' AS p
+                   FROM named a
+                   JOIN named b ON a.block_key = b.block_key
+                               AND a.record_id < b.record_id),
+            p2 AS (SELECT a.record_id AS id1, b.record_id AS id2,
+                          'tokensort' AS p
+                   FROM named a
+                   JOIN named b ON a.sorted_full = b.sorted_full
+                               AND a.record_id < b.record_id),
+            ranked AS (SELECT record_id, sorted_full,
+                              row_number() OVER (ORDER BY sorted_full,
+                                                 record_id) AS rnk
+                       FROM named),
+            p3 AS (SELECT least(a.record_id, b.record_id) AS id1,
+                          greatest(a.record_id, b.record_id) AS id2,
+                          'snm' AS p
+                   FROM ranked a
+                   JOIN ranked b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4),
+            u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                  UNION ALL SELECT * FROM p3),
+            agg AS (SELECT id1, id2,
+                        max(CASE WHEN p = 'phonetic' THEN 1 ELSE 0 END)
+                            AS in_phonetic,
+                        max(CASE WHEN p = 'tokensort' THEN 1 ELSE 0 END)
+                            AS in_tokensort,
+                        max(CASE WHEN p = 'snm' THEN 1 ELSE 0 END) AS in_snm
+                    FROM u GROUP BY 1, 2)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4321,40 +4438,7 @@ def oracle_sql() -> dict[str, str]:
                    w_first_std + w_last_std + w_birth_year AS vf_weight
             FROM wts
         """,
-        "q74_multipass_blocking": _PERSON_CTE + f""",
-            named AS (SELECT record_id,
-                             {_SORTED_FULL_SQL} AS sorted_full,
-                             upper(substr(first_name, 1, 1)) || '|' ||
-                                 {_sdx_sql(_ORACLE_LAST)} AS block_key
-                      FROM person),
-            p1 AS (SELECT a.record_id AS id1, b.record_id AS id2,
-                          'phonetic' AS p
-                   FROM named a
-                   JOIN named b ON a.block_key = b.block_key
-                               AND a.record_id < b.record_id),
-            p2 AS (SELECT a.record_id AS id1, b.record_id AS id2,
-                          'tokensort' AS p
-                   FROM named a
-                   JOIN named b ON a.sorted_full = b.sorted_full
-                               AND a.record_id < b.record_id),
-            ranked AS (SELECT record_id, sorted_full,
-                              row_number() OVER (ORDER BY sorted_full,
-                                                 record_id) AS rnk
-                       FROM named),
-            p3 AS (SELECT least(a.record_id, b.record_id) AS id1,
-                          greatest(a.record_id, b.record_id) AS id2,
-                          'snm' AS p
-                   FROM ranked a
-                   JOIN ranked b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4),
-            u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
-                  UNION ALL SELECT * FROM p3),
-            agg AS (SELECT id1, id2,
-                        max(CASE WHEN p = 'phonetic' THEN 1 ELSE 0 END)
-                            AS in_phonetic,
-                        max(CASE WHEN p = 'tokensort' THEN 1 ELSE 0 END)
-                            AS in_tokensort,
-                        max(CASE WHEN p = 'snm' THEN 1 ELSE 0 END) AS in_snm
-                    FROM u GROUP BY 1, 2)
+        "q74_multipass_blocking": _Q74_ORACLE_CHAIN + """
             SELECT id1, id2, in_phonetic, in_tokensort, in_snm,
                    in_phonetic + in_tokensort + in_snm AS n_passes
             FROM agg
@@ -4491,6 +4575,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q92_calibration": _q92_oracle(),
         "q93_nysiis_keys": _q93_oracle(),
+        "q95_pass_contribution": _Q74_ORACLE_CHAIN + """,
+            lab AS (SELECT g.*,
+                           n1.sorted_full = n2.sorted_full AS is_true,
+                           g.in_phonetic + g.in_tokensort + g.in_snm
+                               AS n_passes
+                    FROM agg g
+                    JOIN named n1 ON n1.record_id = g.id1
+                    JOIN named n2 ON n2.record_id = g.id2),
+            truth AS (SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT)
+                          AS true_pairs
+                      FROM (SELECT count(*) AS k FROM named
+                            GROUP BY sorted_full)),
+            long AS (
+                SELECT 'phonetic' AS pass_name, is_true, n_passes
+                FROM lab WHERE in_phonetic = 1
+                UNION ALL
+                SELECT 'tokensort', is_true, n_passes
+                FROM lab WHERE in_tokensort = 1
+                UNION ALL
+                SELECT 'snm', is_true, n_passes FROM lab WHERE in_snm = 1),
+            per AS (SELECT pass_name,
+                           CAST(count(*) AS BIGINT) AS n_pairs,
+                           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END)
+                                AS BIGINT) AS captured_true,
+                           CAST(sum(CASE WHEN n_passes = 1 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS unique_pairs,
+                           CAST(sum(CASE WHEN n_passes = 1 AND is_true
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                               AS unique_true
+                    FROM long GROUP BY 1)
+            SELECT p.pass_name, p.n_pairs, p.captured_true, p.unique_pairs,
+                   p.unique_true,
+                   CAST(p.captured_true * 1000000
+                        // greatest(t.true_pairs, 1) AS BIGINT)
+                       AS solo_recall_ppm
+            FROM per p, truth t
+        """,
         "q94_pair_completeness": f"""WITH {_LINKAGE_ORACLE_PREFIX},
             n AS (SELECT count(*) AS n_records FROM keyed),
             truth AS (SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT)
