@@ -3,11 +3,11 @@
 ``entry(spark)`` runs the flagship record-linkage pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator family
 (SURVEY.md §2 + the training-data-pipeline extensions); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every query with exactly expressible
-semantics (value-hash compared by the driver). Queries whose semantics are
-UDF-kernel-based (full fuzzy scoring, simhash) ship without an oracle and
-get the rows-only check; their exactness is pinned by the pytest oracle
-suite instead (tests/test_pipeline_e2e.py, tests/test_dedup_text.py).
+gives the DuckDB-equivalent SQL for EVERY query — 95/95, including the
+UDF-kernel families (Jaro-Winkler and full Damerau-Levenshtein are
+rendered as recursive-CTE SQL in ``name_matching_spark/oracle_sql/``), so
+the driver value-hashes the whole surface. The local replica of the gate
+is ``tools/check_oracles.py`` (run per change at sf0.001/0.01/0.1).
 """
 
 from __future__ import annotations
