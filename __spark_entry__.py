@@ -1459,6 +1459,90 @@ def q89_birthdate_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_fs_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter with THREE-state comparisons: agree / disagree /
+    MISSING (the textbook missing-data refinement — a missing value is
+    evidence for neither hypothesis, so the field contributes weight 0
+    rather than a spurious disagreement). The middle name is missing for
+    ~25% of records (record_id % 4 == 0 has no middle name); its m/u are
+    estimated over both-present pairs only, first/birth-year over all
+    pairs, all from exact Laplace-smoothed ppm integers (q60's form).
+    Emits per pair the present flag and the missing-aware total weight."""
+    from name_matching_spark.operators.blocking import (
+        blocking_key_column,
+        candidate_pairs_self,
+    )
+    from name_matching_spark.operators.normalize import (
+        LinkageSchema,
+        normalize_records,
+    )
+    from name_matching_spark.operators.probabilistic import estimate_mu_weights
+
+    person = _person_df(spark, sf_dir)
+    sc = spark.sparkContext
+    if person.rdd.getNumPartitions() < sc.defaultParallelism:
+        person = person.repartition(sc.defaultParallelism)
+    norm = normalize_records(
+        person, LinkageSchema(id_col="record_id", geo_fields=[])
+    )
+    keyed = norm.withColumn(
+        "block_key", blocking_key_column("phonetic")
+    ).localCheckpoint(eager=False)
+    pairs = candidate_pairs_self(
+        keyed, ["first_std", "middle_std", "birthdate_std", "sorted_full"]
+    )
+    lab = pairs.select(
+        "id1",
+        "id2",
+        (F.col("s1.first_std") == F.col("s2.first_std")).alias("agree_first"),
+        (
+            F.substring(F.col("s1.birthdate_std"), 1, 4)
+            == F.substring(F.col("s2.birthdate_std"), 1, 4)
+        ).alias("agree_birth_year"),
+        (
+            (F.col("s1.middle_std") != "") & (F.col("s2.middle_std") != "")
+        ).alias("present"),
+        (F.col("s1.middle_std") == F.col("s2.middle_std")).alias(
+            "agree_middle"
+        ),
+        F.when(
+            F.col("s1.sorted_full") == F.col("s2.sorted_full"), "match"
+        ).otherwise("non-match").alias("true_label"),
+    ).localCheckpoint(eager=False)
+    w_main = {
+        r["field"]: r
+        for r in estimate_mu_weights(
+            lab, ["agree_first", "agree_birth_year"]
+        ).collect()
+    }
+    w_mid = {
+        r["field"]: r
+        for r in estimate_mu_weights(
+            lab.filter(F.col("present")), ["agree_middle"]
+        ).collect()
+    }
+
+    def term(field: str, rows: dict) -> F.Column:
+        r = rows[field]
+        return F.when(
+            F.col(field), F.lit(float(r["agree_weight"]))
+        ).otherwise(F.lit(float(r["disagree_weight"])))
+
+    score = (
+        term("agree_first", w_main)
+        + term("agree_birth_year", w_main)
+        + F.when(F.col("present"), term("agree_middle", w_mid)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return lab.select(
+        "id1",
+        "id2",
+        F.col("present").cast("int").alias("present_middle"),
+        score.alias("fs_weight"),
+    )
+
+
 def q95_pass_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pass marginal value of multi-pass blocking: for each pass
     (phonetic / token-sort / SNM), its pair count, how many true pairs it
@@ -2487,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_nysiis_keys": q93_nysiis_keys,
         "q94_pair_completeness": q94_pair_completeness,
         "q95_pass_contribution": q95_pass_contribution,
+        "q96_fs_missing": q96_fs_missing,
     }
 
 
@@ -3144,6 +3229,65 @@ SELECT id1, id2,
            WHEN year(d1) = year(d2) THEN 300000
            ELSE 0 END AS BIGINT) AS date_score_ppm
 FROM dated
+"""
+
+
+def _q96_oracle() -> str:
+    """Three-state FS oracle: q61's exact-ppm weight machinery with the
+    middle field estimated over both-present pairs and contributing 0 when
+    missing."""
+    return f"""WITH RECURSIVE {_LINKAGE_ORACLE_PREFIX},
+lab AS (SELECT id1, id2,
+               f1 = f2 AS agree_first,
+               substr(bd1, 1, 4) = substr(bd2, 1, 4) AS agree_birth_year,
+               md1 <> '' AND md2 <> '' AS present,
+               md1 = md2 AS agree_middle,
+               sf1 = sf2 AS is_match
+        FROM pairs),
+counts AS (SELECT
+    sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_match,
+    sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS n_nonmatch,
+    sum(CASE WHEN is_match AND agree_first THEN 1 ELSE 0 END) AS m_first,
+    sum(CASE WHEN NOT is_match AND agree_first THEN 1 ELSE 0 END) AS u_first,
+    sum(CASE WHEN is_match AND agree_birth_year THEN 1 ELSE 0 END) AS m_by,
+    sum(CASE WHEN NOT is_match AND agree_birth_year THEN 1 ELSE 0 END) AS u_by,
+    sum(CASE WHEN present AND is_match THEN 1 ELSE 0 END) AS n_match_p,
+    sum(CASE WHEN present AND NOT is_match THEN 1 ELSE 0 END) AS n_nonmatch_p,
+    sum(CASE WHEN present AND is_match AND agree_middle THEN 1 ELSE 0 END)
+        AS m_mid,
+    sum(CASE WHEN present AND NOT is_match AND agree_middle THEN 1 ELSE 0 END)
+        AS u_mid
+    FROM lab),
+ppm AS (SELECT
+    CAST((m_first + 1) * 1000000 // (n_match + 2) AS BIGINT) AS mf,
+    CAST((u_first + 1) * 1000000 // (n_nonmatch + 2) AS BIGINT) AS uf,
+    CAST((m_by + 1) * 1000000 // (n_match + 2) AS BIGINT) AS mb,
+    CAST((u_by + 1) * 1000000 // (n_nonmatch + 2) AS BIGINT) AS ub,
+    CAST((m_mid + 1) * 1000000 // (n_match_p + 2) AS BIGINT) AS mm,
+    CAST((u_mid + 1) * 1000000 // (n_nonmatch_p + 2) AS BIGINT) AS um
+    FROM counts),
+w AS (SELECT
+    log2(CAST(greatest(mf, 1) AS DOUBLE) / CAST(greatest(uf, 1) AS DOUBLE))
+        AS wa_f,
+    log2(CAST(greatest(1000000 - mf, 1) AS DOUBLE)
+         / CAST(greatest(1000000 - uf, 1) AS DOUBLE)) AS wd_f,
+    log2(CAST(greatest(mb, 1) AS DOUBLE) / CAST(greatest(ub, 1) AS DOUBLE))
+        AS wa_b,
+    log2(CAST(greatest(1000000 - mb, 1) AS DOUBLE)
+         / CAST(greatest(1000000 - ub, 1) AS DOUBLE)) AS wd_b,
+    log2(CAST(greatest(mm, 1) AS DOUBLE) / CAST(greatest(um, 1) AS DOUBLE))
+        AS wa_m,
+    log2(CAST(greatest(1000000 - mm, 1) AS DOUBLE)
+         / CAST(greatest(1000000 - um, 1) AS DOUBLE)) AS wd_m
+    FROM ppm)
+SELECT l.id1, l.id2,
+       CAST(CASE WHEN l.present THEN 1 ELSE 0 END AS INT) AS present_middle,
+       (CASE WHEN l.agree_first THEN w.wa_f ELSE w.wd_f END)
+     + (CASE WHEN l.agree_birth_year THEN w.wa_b ELSE w.wd_b END)
+     + (CASE WHEN l.present THEN
+            (CASE WHEN l.agree_middle THEN w.wa_m ELSE w.wd_m END)
+        ELSE CAST(0.0 AS DOUBLE) END) AS fs_weight
+FROM lab l CROSS JOIN w
 """
 
 
@@ -4612,6 +4756,7 @@ def oracle_sql() -> dict[str, str]:
                        AS solo_recall_ppm
             FROM per p, truth t
         """,
+        "q96_fs_missing": _q96_oracle(),
         "q94_pair_completeness": f"""WITH {_LINKAGE_ORACLE_PREFIX},
             n AS (SELECT count(*) AS n_records FROM keyed),
             truth AS (SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT)

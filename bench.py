@@ -58,7 +58,8 @@ def main() -> None:
         "nms-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={"spark.ui.enabled": "false",
+                    "spark.driver.memory": "8g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -47,8 +47,11 @@ def main():
 
     from name_matching_spark.session import get_spark
 
+    # 95+ queries run in ONE session; size the single-JVM heap for the
+    # box (default 1g dies late in a full sf0.1 sweep)
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8,
-                      extra_conf={"spark.ui.enabled": "false"})
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.driver.memory": "8g"})
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
