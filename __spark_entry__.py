@@ -510,8 +510,15 @@ def q18_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups."""
     from name_matching_spark.operators.dedup import token_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-        "grp", F.concat_ws("|", "source", "lang")
+    # fixed 1000-doc slice on BOTH sides (no-op at the driver's sf0.01):
+    # the oracle is the exact uncapped join, and above ~1000 docs this
+    # 31-token-vocabulary corpus drives every token past any df cap — the
+    # skew guard would (by design) trade recall, diverging from the exact
+    # oracle. Guard behavior itself is pinned by tests + token_cap_census.
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 1000)
+        .withColumn("grp", F.concat_ws("|", "source", "lang"))
     )
     out = token_jaccard_pairs(docs, threshold=0.2, group_col="grp")
     return out.select("id1", "id2", F.round(F.col("jaccard"), 6).alias("jaccard"))
@@ -530,7 +537,12 @@ def q20_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     <=max_hamming pair set — which the DuckDB oracle computes directly."""
     from name_matching_spark.operators.dedup import simhash_near_dupes
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fixed 1000-doc slice, matching the oracle (a no-op at the driver's
+    # sf0.01): the exact brute-force oracle is inherently all-pairs, and
+    # this corpus's near-dup density makes it quadratic-dense at sf0.1
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 1000
+    )
     return simhash_near_dupes(docs, max_hamming=6, n_chunks=8)
 
 
@@ -1456,6 +1468,33 @@ def q89_birthdate_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id2",
         F.abs(F.datediff(d1, d2)).cast("long").alias("day_diff"),
         date_tolerance_score_ppm(d1, d2).cast("long").alias("date_score_ppm"),
+    )
+
+
+def q97_zipf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile of the document corpus: every token
+    with its occurrence count, corpus frequency (exact ppm), and rank
+    (count desc, token asc — deterministic ties). The vocabulary census a
+    tokenizer/stopword/quality pipeline reads first; one groupBy + a
+    window over the (vocabulary-sized) census."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    census = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = census.agg(F.sum("n").alias("_total"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        census.crossJoin(total)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "token",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST(n * 1000000 DIV _total AS BIGINT)").alias("freq_ppm"),
+        )
     )
 
 
@@ -2572,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_pair_completeness": q94_pair_completeness,
         "q95_pass_contribution": q95_pass_contribution,
         "q96_fs_missing": q96_fs_missing,
+        "q97_zipf_tokens": q97_zipf_tokens,
     }
 
 
@@ -4008,7 +4048,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT doc_id, source || '|' || lang AS grp, t.token
                 FROM documents,
                      LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS t(token)
-                WHERE t.token <> ''),
+                WHERE t.token <> '' AND doc_id < 1000),
             sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
             inter AS (
                 SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
@@ -4757,6 +4797,22 @@ def oracle_sql() -> dict[str, str]:
             FROM per p, truth t
         """,
         "q96_fs_missing": _q96_oracle(),
+        "q97_zipf_tokens": """
+            WITH toks AS (
+                SELECT t.token
+                FROM documents,
+                     LATERAL unnest(string_split_regex(lower(text), '\\s+'))
+                         AS t(token)
+                WHERE t.token <> ''),
+            census AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+            total AS (SELECT sum(n) AS tot FROM census)
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                        AS BIGINT) AS rank,
+                   token,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(n * 1000000 // tot AS BIGINT) AS freq_ppm
+            FROM census, total
+        """,
         "q94_pair_completeness": f"""WITH {_LINKAGE_ORACLE_PREFIX},
             n AS (SELECT count(*) AS n_records FROM keyed),
             truth AS (SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT)
