@@ -72,3 +72,32 @@ def test_unbucketed_join_does_shuffle(spark, bucketed_pair):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """write_match_results(partition_by=...) + a filtered read must show
+    the filter as a PartitionFilter on the scan (directory pruning — at
+    100 TB the difference between reading one class and all of them)."""
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.sources.sinks import write_match_results
+
+    matches = spark.range(0, 1000).select(
+        F.col("id").alias("id1"),
+        (F.col("id") + 100000).alias("id2"),
+        (F.col("id") % 100 / 100).alias("score"),
+        F.when(F.col("id") % 3 == 0, "match")
+        .otherwise("manual_review")
+        .alias("classification"),
+    )
+    out = str(tmp_path / "matches")
+    write_match_results(matches, out, mode="overwrite",
+                        partition_by=["classification"])
+    rd = spark.read.parquet(out).filter(F.col("classification") == "match")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition predicate must be IN the partition filters, not a
+    # post-scan data filter
+    pf = plan[plan.index("PartitionFilters"):]
+    assert "classification" in pf[:200], plan
+    assert rd.count() == 334
