@@ -1478,6 +1478,40 @@ def q89_birthdate_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q98_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank quartiles of document length per language: the
+    value at sorted position ceil(p*n) for p in {.25, .5, .75} — fully
+    deterministic (the VALUE at a rank is unique for a sorted multiset,
+    whatever the tie order), no interpolation, so it cross-checks exactly
+    in any engine. One per-group ranking window + one aggregate; at 100 TB
+    swap the window for global_sort_rank per group (q39's machinery)."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", F.length("text").alias("len")
+    )
+    w = Window.partitionBy("lang").orderBy("len")
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("len")
+        )
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.min("len").cast("long").alias("min_len"),
+            pick(0.25).cast("long").alias("q1_len"),
+            pick(0.50).cast("long").alias("median_len"),
+            pick(0.75).cast("long").alias("q3_len"),
+            F.max("len").cast("long").alias("max_len"),
+        )
+    )
+
+
 def q97_zipf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency profile of the document corpus: every token
     with its occurrence count, corpus frequency (exact ppm), and rank
@@ -2619,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_pass_contribution": q95_pass_contribution,
         "q96_fs_missing": q96_fs_missing,
         "q97_zipf_tokens": q97_zipf_tokens,
+        "q98_length_quartiles": q98_length_quartiles,
     }
 
 
@@ -4804,6 +4839,25 @@ def oracle_sql() -> dict[str, str]:
             FROM per p, truth t
         """,
         "q96_fs_missing": _q96_oracle(),
+        "q98_length_quartiles": """
+            WITH d AS (SELECT lang, length(text) AS len FROM documents),
+            r AS (SELECT lang, len,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY len) AS rn,
+                         count(*) OVER (PARTITION BY lang) AS n
+                  FROM d)
+            SELECT lang,
+                   CAST(max(n) AS BIGINT) AS n_docs,
+                   CAST(min(len) AS BIGINT) AS min_len,
+                   CAST(max(CASE WHEN rn = ceil(0.25 * n) THEN len END)
+                        AS BIGINT) AS q1_len,
+                   CAST(max(CASE WHEN rn = ceil(0.50 * n) THEN len END)
+                        AS BIGINT) AS median_len,
+                   CAST(max(CASE WHEN rn = ceil(0.75 * n) THEN len END)
+                        AS BIGINT) AS q3_len,
+                   CAST(max(len) AS BIGINT) AS max_len
+            FROM r GROUP BY lang
+        """,
         "q97_zipf_tokens": """
             WITH toks AS (
                 SELECT t.token
