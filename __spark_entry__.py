@@ -1478,6 +1478,54 @@ def q89_birthdate_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q99_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-min: for each part, the supplier
+    offering the lowest average unit price (decimal-exact mean over its
+    lineitems), restricted to one region — the classic correlated
+    subquery expressed as a window argmin (min_by over the per-(part,
+    supplier) aggregate; ties break on supplier key asc). Two-level
+    aggregation + one small-dim broadcastable join chain; no correlated
+    re-execution anywhere."""
+    _load(spark, sf_dir)
+    li = spark.table("lineitem")
+    supp = (
+        spark.table("supplier")
+        .join(spark.table("nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(spark.table("region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_regionkey") == 0)
+        .select("s_suppkey", "s_name")
+    )
+    per = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name")
+        .agg(
+            # exact decimal sum, then ONE IEEE division — engine-identical
+            # (engines disagree on avg(DECIMAL) result types)
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_sum"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .withColumn(
+            "avg_price", F.col("_sum").cast("double") / F.col("n_lines")
+        )
+    )
+    best = per.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.min_by(
+            F.struct(
+                F.col("l_suppkey"), F.col("s_name"), F.col("avg_price"),
+                F.col("n_lines"),
+            ),
+            F.struct(F.col("avg_price"), F.col("l_suppkey")),
+        ).alias("_b")
+    )
+    return best.select(
+        "p_partkey",
+        F.col("_b.l_suppkey").alias("s_suppkey"),
+        F.col("_b.s_name").alias("s_name"),
+        F.col("_b.avg_price").alias("avg_price"),
+        F.col("_b.n_lines").cast("long").alias("n_lines"),
+    )
+
+
 def q98_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank quartiles of document length per language: the
     value at sorted position ceil(p*n) for p in {.25, .5, .75} — fully
@@ -2654,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_fs_missing": q96_fs_missing,
         "q97_zipf_tokens": q97_zipf_tokens,
         "q98_length_quartiles": q98_length_quartiles,
+        "q99_min_price_supplier": q99_min_price_supplier,
     }
 
 
@@ -4839,6 +4888,31 @@ def oracle_sql() -> dict[str, str]:
             FROM per p, truth t
         """,
         "q96_fs_missing": _q96_oracle(),
+        "q99_min_price_supplier": """
+            WITH supp AS (
+                SELECT s_suppkey, s_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_regionkey = 0),
+            per AS (
+                SELECT l_partkey, l_suppkey, s_name,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                            AS DOUBLE) / count(*) AS avg_price,
+                       count(*) AS n_lines
+                FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+                GROUP BY 1, 2, 3),
+            best AS (
+                SELECT l_partkey AS p_partkey, l_suppkey, s_name, avg_price,
+                       n_lines,
+                       row_number() OVER (PARTITION BY l_partkey
+                           ORDER BY avg_price ASC, l_suppkey ASC) AS rn
+                FROM per)
+            SELECT p_partkey, l_suppkey AS s_suppkey, s_name,
+                   avg_price,
+                   CAST(n_lines AS BIGINT) AS n_lines
+            FROM best WHERE rn = 1
+        """,
         "q98_length_quartiles": """
             WITH d AS (SELECT lang, length(text) AS len FROM documents),
             r AS (SELECT lang, len,
