@@ -1478,6 +1478,56 @@ def q89_birthdate_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q100_linkage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The run-summary dashboard every production linkage job logs, as ONE
+    oracle-checked row: record count, scored pair counts by class (q15's
+    full fuzzy pipeline), and the entity-cluster census over the
+    match-classified pairs (connected components: clusters of size >= 2,
+    the largest entity, singletons). The oracle nests the complete
+    recursive-CTE q15 pipeline AND a recursive transitive closure — the
+    single number a reviewer reads first ('how many entities did 1500
+    records collapse into') is value-hash checked end to end."""
+    from name_matching_spark.operators.clustering import assign_clusters
+
+    scored = q15_match_scores(spark, sf_dir)
+    scored = scored.localCheckpoint(eager=False)
+    person = _person_df(spark, sf_dir).select("record_id")
+    counts = scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("classification") == "match", 1).otherwise(0)).alias(
+            "n_match_pairs"
+        ),
+        F.sum(
+            F.when(F.col("classification") == "manual_review", 1).otherwise(0)
+        ).alias("n_review_pairs"),
+    )
+    comp = assign_clusters(
+        person, scored.filter(F.col("classification") == "match").select("id1", "id2")
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    cstats = sizes.agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0)).alias("n_multi"),
+        F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).alias("n_singletons"),
+        F.max("sz").alias("max_entity_size"),
+    )
+    n = person.agg(F.count(F.lit(1)).alias("n_records"))
+    return (
+        n.crossJoin(counts)
+        .crossJoin(cstats)
+        .select(
+            F.col("n_records").cast("long").alias("n_records"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_match_pairs").cast("long").alias("n_match_pairs"),
+            F.col("n_review_pairs").cast("long").alias("n_review_pairs"),
+            F.col("n_entities").cast("long").alias("n_entities"),
+            F.col("n_multi").cast("long").alias("n_multi"),
+            F.col("n_singletons").cast("long").alias("n_singletons"),
+            F.col("max_entity_size").cast("long").alias("max_entity_size"),
+        )
+    )
+
+
 def q99_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped correlated-min: for each part, the supplier
     offering the lowest average unit price (decimal-exact mean over its
@@ -2703,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_zipf_tokens": q97_zipf_tokens,
         "q98_length_quartiles": q98_length_quartiles,
         "q99_min_price_supplier": q99_min_price_supplier,
+        "q100_linkage_report": q100_linkage_report,
     }
 
 
@@ -3360,6 +3411,45 @@ SELECT id1, id2,
            WHEN year(d1) = year(d2) THEN 300000
            ELSE 0 END AS BIGINT) AS date_score_ppm
 FROM dated
+"""
+
+
+def _q100_oracle() -> str:
+    """Dashboard oracle: q15's full oracle nested as ``sc``, plus a
+    recursive min-root transitive closure over its match-classified pairs
+    (q81's lbl pattern) and the cluster census."""
+    q15 = _q15_oracle()
+    return f"""WITH RECURSIVE sc AS ({q15}),
+person AS ({PERSON_SQL}),
+mp AS (SELECT id1, id2 FROM sc WHERE classification = 'match'),
+edges2 AS (SELECT id1 AS a, id2 AS b FROM mp
+           UNION SELECT id2, id1 FROM mp),
+lbl(node, root) AS (
+    SELECT record_id, record_id FROM person
+    UNION
+    SELECT e.b, l.root FROM lbl l JOIN edges2 e ON l.node = e.a
+),
+comp AS (SELECT node, min(root) AS cluster_id FROM lbl GROUP BY 1),
+sizes AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY 1),
+cstats AS (SELECT CAST(count(*) AS BIGINT) AS n_entities,
+                  CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_multi,
+                  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_singletons,
+                  CAST(max(sz) AS BIGINT) AS max_entity_size
+           FROM sizes),
+counts AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(CASE WHEN classification = 'match'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_match_pairs,
+                  CAST(sum(CASE WHEN classification = 'manual_review'
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_review_pairs
+           FROM sc),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM person)
+SELECT n.n_records, counts.n_pairs, counts.n_match_pairs,
+       counts.n_review_pairs, cstats.n_entities, cstats.n_multi,
+       cstats.n_singletons, cstats.max_entity_size
+FROM n, counts, cstats
 """
 
 
@@ -4888,6 +4978,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per p, truth t
         """,
         "q96_fs_missing": _q96_oracle(),
+        "q100_linkage_report": _q100_oracle(),
         "q99_min_price_supplier": """
             WITH supp AS (
                 SELECT s_suppkey, s_name
