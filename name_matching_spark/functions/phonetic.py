@@ -57,8 +57,11 @@ METAPHONE_RULES: list[tuple[str, str]] = [
     # --- digraphs before single-letter folds ---
     ("SCH", "SK"),
     ("TH", "0"),  # theta, metaphone's '0'
-    ("CH", "X"),
-    ("SH", "X"),
+    # CH/SH encode as metaphone's X (the "sh" sound) — via the placeholder
+    # '1', translated to X only AFTER the single-letter folds below, so the
+    # ("X", "KS") fold (literal letter X) cannot rewrite them to KS
+    ("CH", "1"),
+    ("SH", "1"),
     ("PH", "F"),
     ("GH", "H"),
     ("DGE", "JE"),
@@ -82,6 +85,7 @@ METAPHONE_RULES: list[tuple[str, str]] = [
     ("Z", "S"),
     ("D", "T"),
     ("B", "P"),
+    ("1", "X"),  # CH/SH placeholder -> final sh-code (after X -> KS)
     # --- W/Y/H kept only when followed by a vowel ---
     ("W([^AEIOU])", "$1"),
     ("W$", ""),

@@ -193,8 +193,11 @@ def cohens_kappa(
     """
     agg = df.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(
-            (F.col(pred_col) == F.col(truth_col)).cast("bigint")
+        # coalesce: sum() over an empty frame is NULL, which would
+        # NULL-propagate into po_ppm instead of yielding defined zeros
+        F.coalesce(
+            F.sum((F.col(pred_col) == F.col(truth_col)).cast("bigint")),
+            F.lit(0).cast("bigint"),
         ).alias("n_agree"),
     )
     pred_m = df.groupBy(F.col(pred_col).alias("cls")).agg(
@@ -212,9 +215,13 @@ def cohens_kappa(
     return out.select(
         "n_pairs",
         "n_agree",
-        F.expr("CAST(n_agree * 1000000 DIV n_pairs AS BIGINT)").alias("po_ppm"),
+        # greatest(..., 1): an empty labeled frame yields 0s, not a
+        # DIVIDE_BY_ZERO under ANSI mode (same guard as threshold_sweep)
         F.expr(
-            "CAST(pe_num * 1000000 DIV (n_pairs * n_pairs) AS BIGINT)"
+            "CAST(n_agree * 1000000 DIV greatest(n_pairs, 1) AS BIGINT)"
+        ).alias("po_ppm"),
+        F.expr(
+            "CAST(pe_num * 1000000 DIV greatest(n_pairs * n_pairs, 1) AS BIGINT)"
         ).alias("pe_ppm"),
     ).withColumn(
         "kappa",
@@ -275,8 +282,10 @@ def roc_auc(
         (F.col("twice_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1))
         .cast("long")
         .alias("u2"),
+        # nullif: AUC is undefined for a single-class labeled set (all
+        # positives or all negatives) — emit NULL, not DIVIDE_BY_ZERO
         F.expr(
             "CAST((twice_rank_sum - n_pos * (n_pos + 1)) * 500000 "
-            "DIV (n_pos * n_neg) AS BIGINT)"
+            "DIV nullif(n_pos * n_neg, 0) AS BIGINT)"
         ).alias("auc_ppm"),
     )

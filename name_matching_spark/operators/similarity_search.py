@@ -163,7 +163,14 @@ def _collect_vector_dict(
     df: DataFrame, id_col: str, vec_col: str, max_elements: int
 ):
     """(sorted ids, (n, dim) float64 matrix) for a small corpus, or None
-    when it exceeds ``max_elements`` (or is ragged). One small eager job."""
+    when it exceeds ``max_elements`` (or is ragged, or the id column is not
+    an integral type — string/decimal ids fall back to the join path rather
+    than raising). One small eager job."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        return None  # non-integral ids: use the join path
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         return None
@@ -176,12 +183,15 @@ def _collect_vector_dict(
     mat = np.empty((n, dim), dtype=np.float64)
     for i, r in enumerate(rows):
         v = r[1]
-        if v is None or len(v) != dim:
-            return None  # ragged/null corpus: fall back to the join path
+        if r[0] is None or v is None or len(v) != dim:
+            return None  # null-id/ragged corpus: fall back to the join path
         ids[i] = r[0]
         mat[i] = v
     order = np.argsort(ids, kind="stable")
-    return ids[order], mat[order]
+    ids, mat = ids[order], mat[order]
+    if n > 1 and (ids[1:] == ids[:-1]).any():
+        return None  # conflicting vectors under one id: never pick silently
+    return ids, mat
 
 
 def _pair_cosine_from_dict(
@@ -293,8 +303,14 @@ def brute_force_topk(
     """
     vd = None
     if broadcast_vectors or broadcast_vectors is None:
+        # project to (id, vec) before the union so query/corpus frames with
+        # differing extra columns still align; dedup on (id, vec) so an id
+        # bound to two DIFFERENT vectors survives as two rows and is then
+        # rejected by _collect_vector_dict instead of silently picking one
         vd = _collect_vector_dict(
-            queries.unionByName(corpus).dropDuplicates([id_col]),
+            queries.select(id_col, vec_col)
+            .unionByName(corpus.select(id_col, vec_col))
+            .dropDuplicates([id_col, vec_col]),
             id_col, vec_col, BROADCAST_VECTOR_ELEMENTS,
         )
         if vd is None and broadcast_vectors:
@@ -480,12 +496,20 @@ def _with_sign_sigs(
     signatures: band k's element is sum over p of (1 << p) where
     ``dot(vec, planes[k*band_planes + p]) >= 0``.
 
-    ONE matmul per Arrow batch against the (n_planes, dim) plane matrix —
-    replaces n_bands x band_planes JVM higher-order folds per row, which
-    disable whole-stage codegen (this module's measured finding). Sign
+    ONE vectorized pass per Arrow batch against the (n_planes, dim) plane
+    matrix — replaces n_bands x band_planes JVM higher-order folds per row,
+    which disable whole-stage codegen (this module's measured finding). Sign
     semantics mirror the fold exactly: NULL vectors and vectors whose
     length differs from the plane dim get all-zero signatures (the fold's
     null-propagating ``when(proj >= 0, ...).otherwise(0)`` behavior).
+
+    The projection is accumulated dimension-by-dimension in float64 — a
+    sequential left-to-right fold, bit-identical to DuckDB's ``list_sum``
+    (measured: list_sum([1e16,1,1,-1e16]) = 0.0, i.e. L->R) and to Spark's
+    ``aggregate`` fold, for ANY dim. A BLAS matmul (``m @ P.T``) is NOT
+    used on purpose: its blocked accumulation order can round a
+    within-1-ulp-of-zero projection to the other side of the sign
+    boundary, silently changing bucket membership vs the oracle.
     """
     import pyarrow as pa
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
@@ -503,7 +527,12 @@ def _with_sign_sigs(
             c = b.column(b.schema.get_field_index(vec_col))
             m = _list_col_matrix(c, n)
             if m is not None and m.shape[1] == P.shape[1]:
-                signs = (m @ P.T) >= 0  # (n, n_planes)
+                # sequential L->R fold over dims (see docstring); each step
+                # is one vectorized FMA over the (n, n_planes) accumulator
+                proj = np.zeros((n, P.shape[0]), dtype=np.float64)
+                for i in range(P.shape[1]):
+                    proj += m[:, i : i + 1] * P.T[i : i + 1, :]
+                signs = proj >= 0  # (n, n_planes)
                 packed = (
                     signs.reshape(n, n_bands, band_planes).astype(np.int64)
                     @ weights

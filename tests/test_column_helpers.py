@@ -117,6 +117,9 @@ def test_metaphone_golden_pairs(spark):
         ("Smith", "Smyth"), ("Knight", "Night"), ("Philip", "Filip"),
         ("Catherine", "Kathryn"), ("Wright", "Rite"), ("O'Brien", "Obrien"),
         ("Jackson", "Jaxon"),
+        # CH/SH must land on the sh-code X (not KS): SHAW collides with
+        # SHAH, not with SKAW-like spellings
+        ("Shaw", "Shah"), ("Church", "Cherch"),
     ]
     names = sorted({n for p in pairs for n in p} | {"", "   ", "123", "Ng"})
     df = spark.createDataFrame([(n,) for n in names], "name string")

@@ -151,3 +151,30 @@ def test_checkpointed_dict_encode_matches_direct(spark, tmp_path):
     assert a == b and len(a) > 0
     # knob change does NOT invalidate manifests: nothing reruns
     assert CheckpointedLinkage(out_b, num_ranges=3, schema=SCHEMA, dict_encode=False).run(df) == []
+
+
+def test_roc_auc_single_class_yields_null_not_error(spark):
+    """AUC over a single-class labeled set (all positive / all negative /
+    empty) is undefined: auc_ppm must come back NULL, never DIVIDE_BY_ZERO
+    (ANSI mode)."""
+    from name_matching_spark.operators.evaluation import roc_auc
+
+    all_pos = spark.createDataFrame(
+        [(10, True), (20, True)], "score_q30 long, is_match boolean"
+    )
+    row = roc_auc(all_pos, "score_q30").collect()[0]
+    assert row["n_pos"] == 2 and row["n_neg"] == 0 and row["auc_ppm"] is None
+
+    empty = all_pos.limit(0)
+    row = roc_auc(empty, "score_q30").collect()[0]
+    assert row["auc_ppm"] is None
+
+
+def test_cohens_kappa_empty_frame_yields_zero_not_error(spark):
+    """An empty review batch produces defined zeros (threshold_sweep's
+    greatest(...,1) idiom), not a runtime error."""
+    from name_matching_spark.operators.evaluation import cohens_kappa
+
+    empty = spark.createDataFrame([], "pred string, truth string")
+    row = cohens_kappa(empty, "pred", "truth").collect()[0]
+    assert row["n_pairs"] == 0 and row["po_ppm"] == 0 and row["pe_ppm"] == 0

@@ -86,6 +86,24 @@ def main():
             print(f"{name:24s} DUCKDB-ERROR")
             continue
         problems = []
+        # Guard against driver-fetch rendering divergence (r3 red-cell root
+        # cause): DuckDB HUGEINT (sum over ints) / DECIMAL render as float64
+        # via pandas/Arrow ("42.000000") while fetchall() gives int ("42").
+        # Fail on any result column whose DuckDB type a pandas fetch would
+        # re-render differently from the tuple fetch.
+        safe_types = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT",
+                      "UINTEGER", "USMALLINT", "UTINYINT", "DOUBLE", "FLOAT",
+                      "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+                      "TIMESTAMP_NS", "TIMESTAMP WITH TIME ZONE"}
+        try:
+            rel = con.sql(oracles[name])
+            weird = {c: str(t) for c, t in zip(rel.columns, rel.types)
+                     if str(t) not in safe_types}
+            if weird:
+                problems.append(f"unsafe oracle result types {weird} "
+                                "(HUGEINT/DECIMAL render as float via pandas)")
+        except Exception:
+            pass
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
