@@ -642,18 +642,29 @@ def q28_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the EXACT all-pairs computation — the driver's value-hash gate
     therefore proves recall = 1 of this banding configuration, not merely
     that the banded plan was transliterated."""
-    from name_matching_spark.operators.similarity_search import lsh_near_dupes
+    from name_matching_spark.operators.similarity_search import (
+        banding_config,
+        lsh_near_dupes,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # 16 bands x 1 plane: a true pair (cos >= 0.3, per-plane disagreement
-    # p <= acos(.3)/pi ~ .42) is pruned only if it disagrees on ALL 16
-    # planes — P <= .42^16 ~ 1e-6, i.e. recall = 1 on this corpus at every
-    # scale factor, proven by the exact all-pairs oracle. The previous
-    # 16x2 config missed ~0.1% of pairs at sf0.001/sf0.1 (two-plane bands
-    # prune harder but miss more; the recall_target solver exists for
-    # exactly this dial).
+    # Solver-chosen banding, not a hand-tuned constant: at miss-prob 1e-6
+    # and single-plane bands this solves to 16 bands x 1 plane — a true
+    # pair (cos >= 0.3, per-plane disagreement <= acos(.3)/pi ~ .40) is
+    # pruned only if it disagrees on ALL 16 planes, so recall = 1 on this
+    # corpus at every scale factor, proven by the exact all-pairs oracle.
+    # band_planes is PINNED to 1 because this corpus is near-orthogonal at
+    # a low threshold (banding_config's documented degeneration caveat):
+    # multi-plane bands (the solver's default pick, 58x3 here) prune
+    # harder per band but make the recall guarantee probabilistic rather
+    # than effectively exact, and the driver gate demands bit-equality
+    # with the all-pairs oracle. A corpus change re-solves automatically.
+    n_bands, band_planes = banding_config(
+        threshold=0.3, recall_target=1.0 - 1e-6, band_planes=1
+    )
     out = lsh_near_dupes(
-        emb, dim=64, threshold=0.3, n_bands=16, band_planes=1, seed=42
+        emb, dim=64, threshold=0.3, n_bands=n_bands, band_planes=band_planes,
+        seed=42,
     )
     return out.select("id1", "id2", F.round(F.col("cosine"), 6).alias("cosine"))
 

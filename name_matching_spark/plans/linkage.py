@@ -133,9 +133,15 @@ def _build_class_encoding(
     more than ``max_classes`` distinct payloads (the dictionary must fit
     on the driver and in each Python worker — at web scale a diverse
     corpus exceeds any sane cap, and the direct struct-payload path is the
-    right plan). Runs two small eager jobs (distinct count + collect);
-    class ids are assigned by sorted payload order, so the encoding is
-    deterministic across runs and partitionings.
+    right plan). The over-cap bail is decided by a CHEAP probe first —
+    ``approx_count_distinct`` is one map-side-combined aggregate, no wide
+    shuffle — so the path that gives up on encoding never pays a
+    corpus-wide ``dropDuplicates`` for the privilege (at 100x scale that
+    wasted shuffle dominates). Only a probe within 1.25x of the cap (or
+    ``required=True``, which needs the exact count for its error message)
+    falls through to the exact distinct. Class ids are assigned by sorted
+    payload order, so the encoding is deterministic across runs and
+    partitionings.
     """
     import numpy as np
 
@@ -143,6 +149,13 @@ def _build_class_encoding(
     union = works[0]
     for w in works[1:]:
         union = union.unionByName(w)
+    if not required:
+        # default rsd is 5%; 1.25x leaves ~5 sigma against a false bail
+        approx = union.select(
+            F.approx_count_distinct(F.struct(*fields)).alias("d")
+        ).first()["d"]
+        if approx > max_classes * 1.25:
+            return None
     classes = union.select(*fields).dropDuplicates()
     d = classes.count()
     if d > max_classes or d == 0:

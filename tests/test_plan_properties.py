@@ -159,3 +159,38 @@ def test_roc_auc_window_sees_census_not_rows(spark):
     # the window's child chain contains a HashAggregate
     w = plan.index("Window")
     assert "HashAggregate" in plan[w:], plan
+
+
+def test_class_encoding_overcap_bails_without_full_distinct(spark, monkeypatch):
+    """When the payload cardinality probe (approx_count_distinct, one
+    map-side agg) already exceeds the cap, the bail path must NOT pay a
+    corpus-wide dropDuplicates shuffle — at 100x scale that wasted wide
+    shuffle dominates the fallback path."""
+    from pyspark.sql import DataFrame
+
+    from name_matching_spark.operators.score_pairs import MatcherConfig
+    from name_matching_spark.plans.linkage import _build_class_encoding
+
+    work = spark.createDataFrame(
+        [(i, f"fn{i}", f"md{i}", f"ln{i}") for i in range(400)],
+        "record_id long, first_std string, middle_std string, last_std string",
+    )
+
+    def _no_full_distinct(self, *a, **k):
+        raise AssertionError("over-cap bail ran the full dropDuplicates")
+
+    monkeypatch.setattr(DataFrame, "dropDuplicates", _no_full_distinct)
+    out = _build_class_encoding(
+        [work], MatcherConfig(geo_fields=[]), max_classes=16, required=False
+    )
+    assert out is None
+
+    # required=True still takes the exact path (needs the exact count in
+    # its error) — restore and confirm the cap error fires
+    monkeypatch.undo()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct payloads"):
+        _build_class_encoding(
+            [work], MatcherConfig(geo_fields=[]), max_classes=16, required=True
+        )
