@@ -2660,6 +2660,46 @@ def q77_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dirty_ingest_sql(dialect: str) -> str:
+    """Deterministically dirtied ingest frame over ``customer`` — shared by
+    q101 (validation counts) and q102 (date standardization). Rendered per
+    dialect (Spark SQL / DuckDB) from one template so the two engines see
+    the same rows: empty / NULL / whitespace names, the five accepted
+    birthdate formats rotated by key, plus an unparseable one and NULLs."""
+    month_full = ("'January','February','March','April','May','June','July',"
+                  "'August','September','October','November','December'")
+    month_abbr = ("'Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep',"
+                  "'Oct','Nov','Dec'")
+    if dialect == "spark":
+        str_t = "STRING"
+        full_at = f"element_at(array({month_full}), CAST(1 + k % 12 AS INT))"
+        abbr_at = f"element_at(array({month_abbr}), CAST(1 + k % 12 AS INT))"
+    else:
+        str_t = "VARCHAR"
+        full_at = f"([{month_full}])[CAST(1 + k % 12 AS INT)]"
+        abbr_at = f"([{month_abbr}])[CAST(1 + k % 12 AS INT)]"
+    return f"""
+        SELECT record_id,
+               CASE CAST(k % 13 AS INT) WHEN 0 THEN '' WHEN 1 THEN CAST(NULL AS {str_t})
+                    WHEN 2 THEN '   ' ELSE 'FN_' || CAST(k AS {str_t}) END AS first_name,
+               CASE CAST(k % 17 AS INT) WHEN 0 THEN ''
+                    ELSE 'Santos ' || CAST(k % 16 AS {str_t}) END AS middle_name_last_name,
+               CASE WHEN k % 19 = 18 THEN CAST(NULL AS {str_t})
+                    ELSE CASE CAST(k % 6 AS INT)
+                         WHEN 0 THEN y || '-' || lpad(m, 2, '0') || '-' || lpad(d, 2, '0')
+                         WHEN 1 THEN lpad(m, 2, '0') || '/' || lpad(d, 2, '0') || '/' || y
+                         WHEN 2 THEN lpad(d, 2, '0') || '/' || lpad(m, 2, '0') || '/' || y
+                         WHEN 3 THEN {full_at} || ' ' || d || ', ' || y
+                         WHEN 4 THEN lpad(d, 2, '0') || '-' || {abbr_at} || '-' || y
+                         ELSE 'not-a-date' END END AS birthdate
+        FROM (SELECT c_custkey AS record_id, c_custkey AS k,
+                     CAST(1950 + c_custkey % 40 AS {str_t}) AS y,
+                     CAST(1 + c_custkey % 12 AS {str_t}) AS m,
+                     CAST(10 + c_custkey % 18 AS {str_t}) AS d
+              FROM customer)
+    """
+
+
 def q101_ingest_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S3 ingest validation contract as a driver query
     (``sources/readers.py:validate_records`` + ``default_validators``,
@@ -2675,33 +2715,7 @@ def q101_ingest_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from name_matching_spark.sources.readers import default_validators, validate_records
 
     _load(spark, sf_dir)
-    month_full = ("'January','February','March','April','May','June','July',"
-                  "'August','September','October','November','December'")
-    month_abbr = ("'Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep',"
-                  "'Oct','Nov','Dec'")
-    dirty = spark.sql(f"""
-        SELECT record_id,
-               CASE CAST(k % 13 AS INT) WHEN 0 THEN '' WHEN 1 THEN CAST(NULL AS STRING)
-                    WHEN 2 THEN '   ' ELSE 'FN_' || CAST(k AS STRING) END AS first_name,
-               CASE CAST(k % 17 AS INT) WHEN 0 THEN ''
-                    ELSE 'Santos ' || CAST(k % 16 AS STRING) END AS middle_name_last_name,
-               CASE WHEN k % 19 = 18 THEN CAST(NULL AS STRING)
-                    ELSE CASE CAST(k % 6 AS INT)
-                         WHEN 0 THEN y || '-' || lpad(m, 2, '0') || '-' || lpad(d, 2, '0')
-                         WHEN 1 THEN lpad(m, 2, '0') || '/' || lpad(d, 2, '0') || '/' || y
-                         WHEN 2 THEN lpad(d, 2, '0') || '/' || lpad(m, 2, '0') || '/' || y
-                         WHEN 3 THEN element_at(array({month_full}), CAST(1 + k % 12 AS INT))
-                                     || ' ' || d || ', ' || y
-                         WHEN 4 THEN lpad(d, 2, '0') || '-' ||
-                                     element_at(array({month_abbr}), CAST(1 + k % 12 AS INT))
-                                     || '-' || y
-                         ELSE 'not-a-date' END END AS birthdate
-        FROM (SELECT c_custkey AS record_id, c_custkey AS k,
-                     CAST(1950 + c_custkey % 40 AS STRING) AS y,
-                     CAST(1 + c_custkey % 12 AS STRING) AS m,
-                     CAST(10 + c_custkey % 18 AS STRING) AS d
-              FROM customer)
-    """)
+    dirty = spark.sql(_dirty_ingest_sql("spark"))
     valid, invalid = validate_records(dirty, default_validators())
     zero = F.lit(0).cast("long")
     inv_agg = invalid.agg(
@@ -2722,6 +2736,46 @@ def q101_ingest_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bad_first_name", "bad_middle_name_last_name", "bad_birthdate",
         )
     )
+
+
+def q102_date_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N8: 5-format date standardization to ISO strings as a driver query
+    (``operators/normalize.standardize_date``, reference
+    ``src/csv_handler.py:129-163`` semantics: unparseable -> NULL). Runs
+    over the same deterministically dirtied frame as q101, so every
+    accepted format plus the unparseable and NULL cases hit the operator.
+    """
+    from name_matching_spark.operators.normalize import standardize_date
+
+    _load(spark, sf_dir)
+    dirty = spark.sql(_dirty_ingest_sql("spark"))
+    return dirty.select(
+        "record_id", standardize_date(F.col("birthdate")).alias("birth_iso")
+    )
+
+
+def q103_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal
+    (``text_analysis.line_dedup``, CCNet/RefinedWeb-style): lines shared by
+    >= 2 distinct documents are stripped from every document. The fixture
+    corpus is single-line, so the query derives a 4-line shape per doc —
+    a footer common to ALL docs, an empty structural line (exempt by
+    contract), the original body (shared only by exact-duplicate docs,
+    which therefore get stripped — the correct semantics), and a banner on
+    a doc_id % 2 split — same derivation SQL on both engines."""
+    from name_matching_spark.operators.text_analysis import line_dedup
+
+    _load(spark, sf_dir)
+    docs = spark.sql("""
+        SELECT doc_id,
+               'Copyright 2026 Example Corp - all rights reserved' || char(10) ||
+               '' || char(10) ||
+               text || char(10) ||
+               CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter'
+                    ELSE 'Share this page' END AS text
+        FROM documents
+    """)
+    return line_dedup(docs, min_df=2)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2843,6 +2897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_zipf_tokens": q97_zipf_tokens,
         "q98_length_quartiles": q98_length_quartiles,
         "q99_min_price_supplier": q99_min_price_supplier,
+        "q102_date_standardize": q102_date_standardize,
+        "q103_line_dedup": q103_line_dedup,
     }
 
 
@@ -5080,32 +5136,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q96_fs_missing": _q96_oracle(),
         "q100_linkage_report": _q100_oracle(),
-        "q101_ingest_validation": """
-            WITH dirty AS (
-                SELECT record_id,
-                       CASE CAST(k % 13 AS INT) WHEN 0 THEN '' WHEN 1 THEN CAST(NULL AS VARCHAR)
-                            WHEN 2 THEN '   ' ELSE 'FN_' || CAST(k AS VARCHAR) END AS first_name,
-                       CASE CAST(k % 17 AS INT) WHEN 0 THEN ''
-                            ELSE 'Santos ' || CAST(k % 16 AS VARCHAR) END AS middle_name_last_name,
-                       CASE WHEN k % 19 = 18 THEN CAST(NULL AS VARCHAR)
-                            ELSE CASE CAST(k % 6 AS INT)
-                                 WHEN 0 THEN y || '-' || lpad(m, 2, '0') || '-' || lpad(d, 2, '0')
-                                 WHEN 1 THEN lpad(m, 2, '0') || '/' || lpad(d, 2, '0') || '/' || y
-                                 WHEN 2 THEN lpad(d, 2, '0') || '/' || lpad(m, 2, '0') || '/' || y
-                                 WHEN 3 THEN (['January','February','March','April','May','June',
-                                               'July','August','September','October','November',
-                                               'December'])[CAST(1 + k % 12 AS INT)]
-                                             || ' ' || d || ', ' || y
-                                 WHEN 4 THEN lpad(d, 2, '0') || '-' ||
-                                             (['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug',
-                                               'Sep','Oct','Nov','Dec'])[CAST(1 + k % 12 AS INT)]
-                                             || '-' || y
-                                 ELSE 'not-a-date' END END AS birthdate
-                FROM (SELECT c_custkey AS record_id, c_custkey AS k,
-                             CAST(1950 + c_custkey % 40 AS VARCHAR) AS y,
-                             CAST(1 + c_custkey % 12 AS VARCHAR) AS m,
-                             CAST(10 + c_custkey % 18 AS VARCHAR) AS d
-                      FROM customer)),
+        "q101_ingest_validation": f"""
+            WITH dirty AS ({_dirty_ingest_sql("duckdb")}),
             checked AS (
                 SELECT (first_name IS NOT NULL AND len(trim(first_name)) > 0) AS ok_first,
                        (middle_name_last_name IS NOT NULL
@@ -5127,6 +5159,46 @@ def oracle_sql() -> dict[str, str]:
                        AS bad_middle_name_last_name,
                    CAST(sum(CASE WHEN NOT ok_birth THEN 1 ELSE 0 END) AS BIGINT) AS bad_birthdate
             FROM checked
+        """,
+        "q102_date_standardize": f"""
+            WITH dirty AS ({_dirty_ingest_sql("duckdb")})
+            SELECT record_id,
+                   strftime(coalesce(
+                       try_strptime(birthdate, '%Y-%m-%d'),
+                       try_strptime(birthdate, '%m/%d/%Y'),
+                       try_strptime(birthdate, '%d/%m/%Y'),
+                       try_strptime(birthdate, '%B %d, %Y'),
+                       try_strptime(birthdate, '%d-%b-%Y')), '%Y-%m-%d') AS birth_iso
+            FROM dirty
+        """,
+        "q103_line_dedup": """
+            WITH docs AS (
+                SELECT doc_id,
+                       'Copyright 2026 Example Corp - all rights reserved' || chr(10) ||
+                       '' || chr(10) || text || chr(10) ||
+                       CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter'
+                            ELSE 'Share this page' END AS text
+                FROM documents),
+            l0 AS (SELECT doc_id, sp, unnest(range(1, len(sp) + 1)) AS pos
+                   FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM docs)),
+            lines AS (SELECT doc_id, CAST(pos AS INT) AS pos, sp[pos] AS line,
+                             lower(trim(sp[pos])) AS norm
+                      FROM l0),
+            bp AS (SELECT norm
+                   FROM (SELECT norm, count(DISTINCT doc_id) AS line_df
+                         FROM lines WHERE norm <> '' GROUP BY 1)
+                   WHERE line_df >= 2),
+            kept AS (SELECT doc_id, pos, line FROM lines
+                     WHERE norm NOT IN (SELECT norm FROM bp)),
+            stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                      FROM lines GROUP BY 1),
+            reb AS (SELECT doc_id, count(*) AS n_kept,
+                           string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+                    FROM kept GROUP BY 1)
+            SELECT s.doc_id, s.n_lines,
+                   CAST(s.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+                   COALESCE(r.text_dedup, '') AS text_dedup
+            FROM stats s LEFT JOIN reb r USING (doc_id)
         """,
         "q99_min_price_supplier": """
             WITH supp AS (

@@ -469,3 +469,71 @@ def bigram_novelty(
             F.expr("CAST(n_novel * 1000000 DIV n_bigrams AS BIGINT)"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-level line deduplication (CCNet / RefinedWeb-style boilerplate
+    removal): a non-empty line whose normalized form (lower + trim) appears
+    in >= ``min_df`` DISTINCT documents is boilerplate; every instance of
+    it is removed from every document. Complements
+    :func:`repetition_signals`, which measures repetition WITHIN one
+    document — this operator removes repetition ACROSS documents (cookie
+    banners, share widgets, licence footers).
+
+    Output: ``id_col``, ``n_lines`` (original), ``n_removed`` (line
+    instances dropped), ``text_dedup`` (surviving lines re-joined in
+    original order; '' when everything was boilerplate). Empty /
+    whitespace-only lines are document structure, never boilerplate — they
+    are exempt from the census and always kept.
+
+    Scale shape: the boilerplate census is one distinct + groupBy keyed by
+    the normalized line, the removal is a left-anti join keyed by
+    ``md5(norm)`` (16-byte key regardless of line length — the long line
+    string never rides a shuffle twice), and reassembly is one
+    groupBy(doc) with an in-group sort by line position. No corpus-global
+    state, no driver loop; every stage is keyed by line-hash or doc id.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.lower(F.trim("line")))
+    boilerplate = (
+        lines.filter(F.col("norm") != "")
+        .select(id_col, "norm")
+        .distinct()
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select(F.md5("norm").alias("_h"))
+    )
+    keyed = lines.select(id_col, "pos", "line", F.md5("norm").alias("_h"))
+    kept = keyed.join(boilerplate, "_h", "left_anti")
+    stats = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -606,3 +606,30 @@ def test_ppjoin_matches_brute_force(spark):
                     if j >= t:
                         want.add((a, b, i, j))
         assert got == want, (t, got ^ want)
+
+
+def test_line_dedup_semantics(spark):
+    """Corpus-level boilerplate removal: lines in >= min_df DISTINCT docs
+    are stripped everywhere; empty lines are exempt; repetition WITHIN one
+    document alone is kept; a fully-boilerplate doc yields ''. Original
+    line order survives reassembly."""
+    from name_matching_spark.operators.text_analysis import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "FOOTER\n\nbody one\nFOOTER"),
+            (2, "footer\nbody two\nonly twice\nonly twice"),
+            (3, "Footer"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(docs, min_df=2).collect()}
+    # 'footer' (case/trim-normalized) is in all 3 docs -> removed everywhere,
+    # including BOTH instances in doc 1
+    assert rows[1]["n_lines"] == 4 and rows[1]["n_removed"] == 2
+    assert rows[1]["text_dedup"] == "\nbody one"  # empty line kept, order kept
+    # 'only twice' repeats within doc 2 only -> df = 1 distinct doc -> kept
+    assert rows[2]["n_removed"] == 1
+    assert rows[2]["text_dedup"] == "body two\nonly twice\nonly twice"
+    # doc 3 is all boilerplate -> empty result, not a dropped row
+    assert rows[3]["n_removed"] == 1 and rows[3]["text_dedup"] == ""
