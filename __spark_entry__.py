@@ -2778,6 +2778,51 @@ def q103_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, min_df=2)
 
 
+def q104_constrained_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cannot-link constrained reclustering
+    (``clustering.constrained_clusters``): two overlapping star-edge
+    families — identical standardized full name, and identical
+    (first name, birthdate) — are clustered under cannot-link constraints
+    (same full name but DIFFERENT birthdate = labeled non-match).
+    Contradicted edges are dropped; residual violations (cannot pairs still
+    connected through the second edge family) are flagged per record. The
+    oracle recomputes components of the kept edge set by recursive label
+    propagation, so the flag is proven, not assumed."""
+    from name_matching_spark.operators.clustering import constrained_clusters
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    keyed = norm.select("record_id", "full_std", "last_std").join(
+        person.select(
+            "record_id",
+            F.substring("birthdate", 1, 4).cast("int").alias("birth_year"),
+            "city_name",
+        ),
+        "record_id",
+    )
+
+    def star(cols: list[str]) -> DataFrame:
+        w = Window.partitionBy(*cols)
+        return (
+            keyed.withColumn("_root", F.min("record_id").over(w))
+            .filter(F.col("record_id") != F.col("_root"))
+            .select(F.col("_root").alias("id1"), F.col("record_id").alias("id2"))
+        )
+
+    edges = star(["full_std"]).unionByName(star(["last_std", "city_name"]))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cannot = a.join(
+        b,
+        (F.col("a.full_std") == F.col("b.full_std"))
+        & (F.col("a.record_id") < F.col("b.record_id"))
+        & (
+            F.abs(F.col("a.birth_year") - F.col("b.birth_year")) > F.lit(10)
+        ),
+    ).select(F.col("a.record_id").alias("id1"), F.col("b.record_id").alias("id2"))
+    return constrained_clusters(keyed.select("record_id"), edges, cannot)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -2899,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_min_price_supplier": q99_min_price_supplier,
         "q102_date_standardize": q102_date_standardize,
         "q103_line_dedup": q103_line_dedup,
+        "q104_constrained_clusters": q104_constrained_clusters,
     }
 
 
@@ -5199,6 +5245,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
                    COALESCE(r.text_dedup, '') AS text_dedup
             FROM stats s LEFT JOIN reb r USING (doc_id)
+        """,
+        "q104_constrained_clusters": f"""
+            WITH RECURSIVE person AS ({PERSON_SQL}),
+            named AS (SELECT record_id,
+                             trim(lower(first_name) || ' ' ||
+                                  trim({_ORACLE_MIDDLE} || ' ' || {_ORACLE_LAST})) AS full_std,
+                             {_ORACLE_LAST} AS last_std,
+                             CAST(substr(birthdate, 1, 4) AS INT) AS birth_year,
+                             city_name
+                      FROM person),
+            ea AS (SELECT min(record_id) OVER (PARTITION BY full_std) AS id1,
+                          record_id AS id2 FROM named),
+            eb AS (SELECT min(record_id)
+                              OVER (PARTITION BY last_std, city_name) AS id1,
+                          record_id AS id2 FROM named),
+            edges AS (SELECT id1, id2 FROM ea WHERE id1 <> id2
+                      UNION SELECT id1, id2 FROM eb WHERE id1 <> id2),
+            cannot AS (SELECT a.record_id AS id1, b.record_id AS id2
+                       FROM named a JOIN named b
+                         ON a.full_std = b.full_std
+                        AND a.record_id < b.record_id
+                        AND abs(a.birth_year - b.birth_year) > 10),
+            kept AS (SELECT e.id1, e.id2 FROM edges e
+                     LEFT JOIN cannot c ON c.id1 = e.id1 AND c.id2 = e.id2
+                     WHERE c.id1 IS NULL),
+            und AS (SELECT id1 AS a, id2 AS b FROM kept
+                    UNION SELECT id2, id1 FROM kept),
+            lbl(node, root) AS (
+                SELECT record_id, record_id FROM named
+                UNION
+                SELECT e.b, l.root FROM lbl l JOIN und e ON l.node = e.a
+            ),
+            comp AS (SELECT node AS record_id,
+                            CAST(min(root) AS BIGINT) AS cluster_id
+                     FROM lbl GROUP BY 1),
+            viol AS (SELECT DISTINCT v FROM (
+                        SELECT unnest([c.id1, c.id2]) AS v
+                        FROM cannot c
+                        JOIN comp x ON x.record_id = c.id1
+                        JOIN comp y ON y.record_id = c.id2
+                        WHERE x.cluster_id = y.cluster_id))
+            SELECT n.record_id, comp.cluster_id,
+                   CASE WHEN viol.v IS NOT NULL THEN 1 ELSE 0 END AS in_violation
+            FROM named n
+            JOIN comp ON comp.record_id = n.record_id
+            LEFT JOIN viol ON viol.v = n.record_id
         """,
         "q99_min_price_supplier": """
             WITH supp AS (

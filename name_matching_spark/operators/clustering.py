@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "connected_components",
     "assign_clusters",
+    "constrained_clusters",
     "select_canonical",
     "group_linkage",
 ]
@@ -214,5 +215,62 @@ def group_linkage(
             F.expr(
                 "CAST(n_links * 1000000 DIV (_n1 * _n2) AS BIGINT)"
             ).alias("strength_ppm"),
+        )
+    )
+
+
+def constrained_clusters(
+    records: DataFrame,
+    matches: DataFrame,
+    cannot_pairs: DataFrame,
+    id_col: str = "record_id",
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Cannot-link constrained reclustering (the Dedupe/Zingg-style
+    negative-evidence repair step): match edges directly contradicted by a
+    cannot-link pair are dropped, components are recomputed, and residual
+    violations — cannot pairs whose endpoints remain TRANSITIVELY connected
+    through other edges — are surfaced per record instead of silently
+    accepted (dropping the direct edge is a repair, not a proof; the
+    violation flag is the honest remainder that goes to clerical review).
+
+    Output: ``(id_col, cluster_id, in_violation)`` for every record —
+    min-member-id cluster labels over the retained edges, singletons for
+    unmatched records, ``in_violation`` = 1 when the record is an endpoint
+    of a cannot pair that still shares a cluster.
+
+    Scale shape: pair normalization + one left-anti join on the pair key
+    drop the contradicted edges; the component step is the same
+    large-star/small-star iteration as :func:`assign_clusters`; the
+    violation check is two hash joins of the (small) cannot frame against
+    the assignment. No driver loop beyond the CC fixpoint.
+    """
+    def _norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(src), F.col(dst)).alias(src),
+            F.greatest(F.col(src), F.col(dst)).alias(dst),
+        ).distinct()
+
+    edges = _norm(matches)
+    cannot = _norm(cannot_pairs)
+    kept = edges.join(cannot, [src, dst], "left_anti")
+    assigned = assign_clusters(records, kept, id_col=id_col, src=src, dst=dst)
+    a1 = assigned.select(F.col(id_col).alias(src), F.col("cluster_id").alias("_c1"))
+    a2 = assigned.select(F.col(id_col).alias(dst), F.col("cluster_id").alias("_c2"))
+    violated = (
+        cannot.join(a1, src)
+        .join(a2, dst)
+        .filter(F.col("_c1") == F.col("_c2"))
+        .select(F.explode(F.array(src, dst)).alias(id_col))
+        .distinct()
+        .withColumn("_viol", F.lit(1))
+    )
+    return (
+        assigned.join(violated, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce("_viol", F.lit(0)).cast("int").alias("in_violation"),
         )
     )

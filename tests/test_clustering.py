@@ -119,3 +119,31 @@ def test_group_linkage_hand_computed(spark):
     assert (ab.n_links, ab.max_score, ab.strength_ppm) == (2, 0.9, 1000000)
     bc = rows[("B", "C")]
     assert (bc.n_links, bc.max_score, bc.strength_ppm) == (1, 0.7, 500000)
+
+
+def test_constrained_clusters_drops_and_flags(spark):
+    """Cannot-link repair: the contradicted edge is dropped; if an
+    alternate path keeps the pair connected the violation is FLAGGED (not
+    silently accepted); with no alternate path the cluster splits."""
+    from name_matching_spark.operators.clustering import constrained_clusters
+
+    records = spark.createDataFrame([(i,) for i in range(1, 7)], "record_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5)], "id1 long, id2 long"
+    )
+    # (3, 1): reversed order on purpose — normalization must still match
+    # the (1, 3) edge. (4, 5) has no alternate path.
+    cannot = spark.createDataFrame([(3, 1), (4, 5)], "id1 long, id2 long")
+    rows = {
+        r["record_id"]: r
+        for r in constrained_clusters(records, edges, cannot).collect()
+    }
+    # triangle: direct 1-3 edge dropped, but 1-2-3 keeps them together
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"] == 1
+    assert rows[1]["in_violation"] == 1 and rows[3]["in_violation"] == 1
+    assert rows[2]["in_violation"] == 0  # connected, but not a cannot endpoint
+    # chain: 4-5 edge dropped, no alternate path -> split, no violation
+    assert rows[4]["cluster_id"] == 4 and rows[5]["cluster_id"] == 5
+    assert rows[4]["in_violation"] == 0 and rows[5]["in_violation"] == 0
+    # untouched singleton
+    assert rows[6]["cluster_id"] == 6 and rows[6]["in_violation"] == 0
