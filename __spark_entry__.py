@@ -2823,6 +2823,67 @@ def q104_constrained_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return constrained_clusters(keyed.select("record_id"), edges, cannot)
 
 
+def q105_smith_waterman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smith-Waterman local-alignment similarity over phonetic-blocked
+    pairs (``kernels.batch_sw_score`` via ``sw_similarity_udf``) — the
+    classic partial-containment comparator (engine extension beyond the
+    reference's set, Febrl-style). Integer scores (match +2, mismatch/gap
+    -1), one IEEE division per pair; the oracle runs the SAME DP as pure
+    recursive-CTE SQL (``oracle_sql/sw.py``, max-plus prefix rows) over
+    DISTINCT string pairs."""
+    from name_matching_spark.functions.udfs import sw_similarity_udf
+    from name_matching_spark.operators.blocking import blocking_key_column
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    keyed = norm.withColumn("block_key", blocking_key_column("phonetic"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.record_id") < F.col("b.record_id")),
+    ).select(
+        F.col("a.record_id").alias("id1"),
+        F.col("b.record_id").alias("id2"),
+        F.col("a.sorted_full").alias("s1"),
+        F.col("b.sorted_full").alias("s2"),
+    )
+    return pairs.select(
+        "id1", "id2", sw_similarity_udf(F.col("s1"), F.col("s2")).alias("sw_sim")
+    )
+
+
+def _q105_oracle() -> str:
+    """SW oracle: same blocked pairs as the Spark side, DP once per
+    DISTINCT string pair via the recursive CTE, same single IEEE division."""
+    from name_matching_spark.oracle_sql.sw import sw_cte_sql
+
+    return _PERSON_CTE + f""",
+        named AS (SELECT record_id,
+                         {_SORTED_FULL_SQL} AS sorted_full,
+                         upper(substr(first_name, 1, 1)) || '|' ||
+                             {_sdx_sql(_ORACLE_LAST)} AS block_key
+                  FROM person),
+        prs AS (SELECT a.record_id AS id1, b.record_id AS id2,
+                       a.sorted_full AS s1x, b.sorted_full AS s2x
+                FROM named a
+                JOIN named b ON a.block_key = b.block_key
+                            AND a.record_id < b.record_id),
+        swp AS (SELECT DISTINCT s1x AS s1, s2x AS s2 FROM prs),
+        {sw_cte_sql("swp")}
+        SELECT p.id1, p.id2,
+               CASE WHEN length(p.s1x) = 0 AND length(p.s2x) = 0
+                        THEN CAST(1.0 AS DOUBLE)
+                    WHEN length(p.s1x) = 0 OR length(p.s2x) = 0
+                        THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(s.best AS DOUBLE) /
+                         CAST(2 * least(length(p.s1x), length(p.s2x)) AS DOUBLE)
+               END AS sw_sim
+        FROM prs p JOIN sw s ON s.s1 = p.s1x AND s.s2 = p.s2x
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -2945,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_date_standardize": q102_date_standardize,
         "q103_line_dedup": q103_line_dedup,
         "q104_constrained_clusters": q104_constrained_clusters,
+        "q105_smith_waterman": q105_smith_waterman,
     }
 
 
@@ -5065,6 +5127,7 @@ def oracle_sql() -> dict[str, str]:
             FROM comp GROUP BY 1, 2
         """,
         "q77_soft_tfidf": _q77_oracle(),
+        "q105_smith_waterman": _q105_oracle(),
         "q78_em_params": _q78_oracle(),
         "q79_em_predict": _q79_oracle(),
         "q80_review_queue": _q80_oracle(),

@@ -18,6 +18,8 @@ __all__ = [
     "damerau_levenshtein_distance",
     "damerau_levenshtein_similarity",
     "monge_elkan_similarity",
+    "smith_waterman_score",
+    "smith_waterman_similarity",
     "soundex",
     "soundex_similarity",
     "jaccard_similarity",
@@ -256,3 +258,38 @@ def token_sort_similarity(s1: str, s2: str) -> float:
     sorted1 = " ".join(sorted(s1.lower().split()))
     sorted2 = " ".join(sorted(s2.lower().split()))
     return jaro_winkler_similarity(sorted1, sorted2)
+
+
+def smith_waterman_score(
+    s1: str, s2: str, match: int = 2, mismatch: int = -1, gap: int = -1
+) -> int:
+    """Smith-Waterman local-alignment score with integer scoring (classic
+    record-linkage comparator, e.g. Febrl's stringcmp.sw; engine extension
+    beyond the reference's comparator set — cited as such in COVERAGE.md).
+
+    Textbook DP: ``H[i][j] = max(0, H[i-1][j-1]+s(a_i,b_j), H[i-1][j]+gap,
+    H[i][j-1]+gap)``; the score is the matrix maximum. Integer scores keep
+    the result engine-exact."""
+    best = 0
+    prev = [0] * (len(s2) + 1)
+    for i in range(1, len(s1) + 1):
+        cur = [0] * (len(s2) + 1)
+        for j in range(1, len(s2) + 1):
+            s = match if s1[i - 1] == s2[j - 1] else mismatch
+            cur[j] = max(0, prev[j - 1] + s, prev[j] + gap, cur[j - 1] + gap)
+            if cur[j] > best:
+                best = cur[j]
+        prev = cur
+    return best
+
+
+def smith_waterman_similarity(s1: str, s2: str) -> float:
+    """Normalized SW similarity: ``score / (match * min(len1, len2))`` in
+    [0, 1] (1.0 iff the shorter string aligns contiguously inside the
+    longer), with the reference's empty rules (both empty -> 1.0, one
+    empty -> 0.0). Exact-integer score, ONE IEEE division."""
+    if not s1 and not s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    return smith_waterman_score(s1, s2) / float(2 * min(len(s1), len(s2)))

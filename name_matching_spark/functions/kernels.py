@@ -660,3 +660,71 @@ def batch_extract_full_name(full: pd.Series) -> pd.DataFrame:
     first = parts.str[0].fillna("")
     rest = parts.str[1].fillna("")
     return batch_parse_middle_last(first, rest)
+
+
+def batch_sw_score(s1, s2) -> np.ndarray:
+    """Vectorized Smith-Waterman local-alignment score (match +2,
+    mismatch/gap -1 — ``core.similarity.smith_waterman_score``).
+
+    Row sweep with the max-plus prefix form of the within-row gap
+    dependency: with gap -1, ``H[i][j] = max_{j'<=j}(t[j'] + j') - j``
+    where ``t[j] = max(0, diag + s_ij, up - 1)`` has no left dependency —
+    so each DP row is ONE ``np.maximum.accumulate`` over the batch, no
+    per-cell Python loop. Padded cells never beat a real cell: the two
+    distinct pad codes never compare equal, so padded-region scores only
+    decay from valid maxima.
+    """
+    a = _as_str_array(s1)
+    b = _as_str_array(s2)
+    d = _dedup_pairs(a, b)
+    if d is not None:
+        au, bu, inv = d
+        return _batch_sw_raw(au, bu)[inv]
+    return _batch_sw_raw(a, b)
+
+
+def _batch_sw_raw(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    n = len(a)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    A, len1 = _encode(a, _PAD_A)
+    B, len2 = _encode(b, _PAD_B)
+    eff_l1 = int(len1.max())
+    eff_l2 = int(len2.max())
+    if eff_l1 == 0 or eff_l2 == 0:
+        return out
+    dp_dtype = np.int32
+    idx = np.arange(1, eff_l2 + 1, dtype=dp_dtype)
+    prev = np.zeros((n, eff_l2 + 1), dtype=dp_dtype)
+    best = np.zeros(n, dtype=dp_dtype)
+    Bm = B[:, :eff_l2]
+    for i in range(1, eff_l1 + 1):
+        ai = A[:, i - 1][:, None]
+        s = np.where(Bm == ai, dp_dtype(2), dp_dtype(-1))
+        t = np.maximum(prev[:, :-1] + s, prev[:, 1:] - 1)
+        np.maximum(t, 0, out=t)
+        cur = np.maximum.accumulate(t + idx, axis=1) - idx
+        np.maximum(best, cur.max(axis=1), out=best)
+        prev[:, 1:] = cur
+    out[:] = best
+    return out
+
+
+def batch_sw_similarity(s1, s2) -> np.ndarray:
+    """``score / (2 * min(len))`` with the reference empty rules (both
+    empty -> 1.0, one empty -> 0.0): exact integer score, one IEEE
+    division per pair."""
+    a = _as_str_array(s1)  # None/NaN -> "" BEFORE the len() pass
+    b = _as_str_array(s2)
+    n = len(a)
+    len1 = np.fromiter((len(s) for s in a), dtype=np.int64, count=n)
+    len2 = np.fromiter((len(s) for s in b), dtype=np.int64, count=n)
+    score = batch_sw_score(a, b)
+    denom = 2 * np.minimum(len1, len2)
+    out = np.zeros(n, dtype=np.float64)
+    both_empty = (len1 == 0) & (len2 == 0)
+    out[both_empty] = 1.0
+    nz = denom > 0
+    out[nz] = score[nz] / denom[nz].astype(np.float64)
+    return out

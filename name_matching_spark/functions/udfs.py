@@ -24,6 +24,7 @@ __all__ = [
     "jaro_winkler_udf",
     "dl_similarity_udf",
     "dl_distance_udf",
+    "sw_similarity_udf",
     "soundex_udf",
     "standardize_udf",
     "parse_name_udf",
@@ -50,6 +51,17 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
 def dl_similarity_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
     return pd.Series(
         K.batch_dl_similarity(s1.to_numpy(object), s2.to_numpy(object)), index=s1.index
+    )
+
+
+@pandas_udf(DoubleType())
+def sw_similarity_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Normalized Smith-Waterman local-alignment similarity (match +2,
+    mismatch/gap -1; score / (2 * min(len))) — classic partial-containment
+    comparator (engine extension; ``core.similarity.smith_waterman_*``)."""
+    return pd.Series(
+        K.batch_sw_similarity(s1.to_numpy(object), s2.to_numpy(object)),
+        index=s1.index,
     )
 
 

@@ -208,3 +208,45 @@ def test_batch_extract_full_name_golden():
     assert list(got["first_name"]) == ["Juan", "Juan", "Juan", "Ana", ""]
     assert list(got["middle_name"]) == ["", "", "Reyes", "", ""]
     assert list(got["last_name"]) == ["", "Cruz", "Dela Cruz", "de los Santos", ""]
+
+
+def test_sw_kernel_golden():
+    import numpy as np
+
+    from name_matching_spark.functions.kernels import batch_sw_score, batch_sw_similarity
+
+    s1 = np.array(["abc", "abc", "abc", "martha", "", "a", None], dtype=object)
+    s2 = np.array(["abc", "xabcx", "xyz", "marhta", "", "", "abc"], dtype=object)
+    assert list(batch_sw_score(s1, s2)) == [6, 6, 0, 8, 0, 0, 0]
+    sims = batch_sw_similarity(s1, s2)
+    assert sims[0] == 1.0 and sims[1] == 1.0 and sims[2] == 0.0
+    assert sims[4] == 1.0  # both empty
+    assert sims[5] == 0.0 and sims[6] == 0.0  # one empty / NULL
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcde' -", max_size=14),
+            st.text(alphabet="abcde' -", max_size=14),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_sw_kernel_equals_scalar(pairs):
+    import numpy as np
+
+    from name_matching_spark.core.similarity import (
+        smith_waterman_score,
+        smith_waterman_similarity,
+    )
+    from name_matching_spark.functions.kernels import batch_sw_score, batch_sw_similarity
+
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    assert list(batch_sw_score(a, b)) == [smith_waterman_score(x, y) for x, y in pairs]
+    got = batch_sw_similarity(a, b)
+    exp = [smith_waterman_similarity(x, y) for x, y in pairs]
+    assert all(g == e for g, e in zip(got, exp))

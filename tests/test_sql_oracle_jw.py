@@ -70,3 +70,40 @@ def test_sql_dl_equals_scalar_oracle(pairs):
     assert len(got) == len(pairs)
     for s1, s2 in pairs:
         assert got[(s1, s2)] == damerau_levenshtein_distance(s1, s2), (s1, s2)
+
+
+def sql_sw(pairs):
+    from name_matching_spark.oracle_sql.sw import sw_cte_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE swp(s1 VARCHAR, s2 VARCHAR)")
+    con.executemany("INSERT INTO swp VALUES (?, ?)", pairs)
+    rows = con.execute(
+        "WITH " + sw_cte_sql("swp") + " SELECT s1, s2, best FROM sw"
+    ).fetchall()
+    return {(r[0], r[1]): r[2] for r in rows}
+
+
+def test_sw_golden_values():
+    got = sql_sw([("abc", "abc"), ("abc", "xabcx"), ("abc", "xyz"),
+                  ("martha", "marhta"), ("", ""), ("", "xy"),
+                  ("kitten", "sitting")])
+    assert got[("abc", "abc")] == 6      # full match: 2 * len
+    assert got[("abc", "xabcx")] == 6    # contiguous containment
+    assert got[("abc", "xyz")] == 0      # nothing local aligns
+    assert got[("martha", "marhta")] == 8
+    assert got[("", "")] == 0 and got[("", "xy")] == 0
+    assert got[("kitten", "sitting")] == 7
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="abcde' -", max_size=12),
+                          st.text(alphabet="abcde' -", max_size=12)),
+                min_size=1, max_size=40, unique=True))
+def test_sql_sw_equals_scalar_oracle(pairs):
+    from name_matching_spark.core.similarity import smith_waterman_score
+
+    got = sql_sw(pairs)
+    assert len(got) == len(pairs)
+    for s1, s2 in pairs:
+        assert got[(s1, s2)] == smith_waterman_score(s1, s2), (s1, s2)
