@@ -128,6 +128,8 @@ def _resolve_base_kernel(base_similarity: str):
         return K.batch_jaro_winkler
     if base_similarity == "damerau_levenshtein":
         return K.batch_dl_similarity
+    if base_similarity == "smith_waterman":
+        return K.batch_sw_similarity
     raise ValueError(f"unknown base_similarity: {base_similarity}")
 
 

@@ -147,3 +147,28 @@ class TestMatchRecords:
     def test_compound_surname_variants(self):
         score, _, _ = match_records("Pedro", "Dela Cruz", "Pedro", "De la Cruz")
         assert score > 0.8
+
+
+def test_smith_waterman_base_similarity_ensemble(spark):
+    """`base_similarity='smith_waterman'` plugs the SW kernel into the
+    fused component ensemble end to end (engine extension; JW stays the
+    reference default) and matches the scalar SW oracle per component."""
+    from name_matching_spark.core.similarity import smith_waterman_similarity
+    from name_matching_spark.operators.score_pairs import MatcherConfig, score_pairs
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b",
+             ("juan", "reyes", "santos"), ("juan", "reyes", "santoss")),
+        ],
+        "id1 string, id2 string, "
+        "s1 struct<first_std:string,middle_std:string,last_std:string>, "
+        "s2 struct<first_std:string,middle_std:string,last_std:string>",
+    )
+    cfg = MatcherConfig(
+        base_similarity="smith_waterman", geo_fields=[], use_birthdate=False
+    )
+    row = score_pairs(pairs, cfg).collect()[0]
+    assert row["score_first_name"] == smith_waterman_similarity("juan", "juan") == 1.0
+    assert row["score_last_name"] == smith_waterman_similarity("santos", "santoss")
