@@ -194,3 +194,18 @@ def test_class_encoding_overcap_bails_without_full_distinct(spark, monkeypatch):
         _build_class_encoding(
             [work], MatcherConfig(geo_fields=[]), max_classes=16, required=True
         )
+
+
+def test_line_dedup_plan_is_hash_keyed(spark):
+    """line_dedup must stay equi-join shaped: the boilerplate removal is a
+    left-anti hash join on md5(norm) and reassembly a doc-keyed aggregate —
+    no cartesian product, no window over the line stream."""
+    from name_matching_spark.operators.text_analysis import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    plan = _formatted_plan(line_dedup(docs))
+    assert _node_count(plan, "CartesianProduct") == 0, plan
+    assert _node_count(plan, "Window") == 0, plan
+    assert "LeftAnti" in plan, plan
