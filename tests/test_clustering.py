@@ -147,3 +147,27 @@ def test_constrained_clusters_drops_and_flags(spark):
     assert rows[4]["in_violation"] == 0 and rows[5]["in_violation"] == 0
     # untouched singleton
     assert rows[6]["cluster_id"] == 6 and rows[6]["in_violation"] == 0
+
+
+def test_constrained_clusters_no_constraints_matches_assign(spark):
+    """With an empty cannot frame the result must equal plain
+    assign_clusters with in_violation = 0 everywhere (the no-labels-yet
+    bootstrap case)."""
+    from name_matching_spark.operators.clustering import (
+        assign_clusters,
+        constrained_clusters,
+    )
+
+    records = spark.createDataFrame([(i,) for i in range(1, 5)], "record_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    got = {
+        r["record_id"]: (r["cluster_id"], r["in_violation"])
+        for r in constrained_clusters(records, edges, empty).collect()
+    }
+    base = {
+        r["record_id"]: r["cluster_id"]
+        for r in assign_clusters(records, edges).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == base
+    assert all(v[1] == 0 for v in got.values())
