@@ -28,6 +28,7 @@ __all__ = [
     "shingle_containment_rerank",
     "minhash_coefficients",
     "minhash_signatures",
+    "minhash_band_signatures",
     "minhash_lsh_pairs",
     "simhash_signatures",
     "simhash_near_dupes",
@@ -535,6 +536,39 @@ def minhash_signatures(
     )
 
 
+def minhash_band_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_sig) banded MinHash signatures — the shared LSH
+    key frame behind :func:`minhash_lsh_pairs` and the streaming
+    near-dedup signature store (``streaming/dedup.py``)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    sig = minhash_signatures(df, num_hashes, shingle_len, text_col, id_col)
+    # the band signature must be the h-ORDERED vector of minhashes (sorting
+    # by value would make it a multiset and create spurious collisions
+    # between bands that agree on no hash function); collect_list order is
+    # nondeterministic, so sort the (h, minhash) structs by h
+    return (
+        sig.withColumn("band", (F.col("h") / (num_hashes // bands)).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 32,
@@ -549,25 +583,8 @@ def minhash_lsh_pairs(
     become candidates (classic banding estimate: threshold ~
     (1/bands)^(1/rows_per_band)). Output: (id1, id2, n_shared_bands).
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    sig = minhash_signatures(df, num_hashes, shingle_len, text_col, id_col)
-    # the band signature must be the h-ORDERED vector of minhashes (sorting
-    # by value would make it a multiset and create spurious collisions
-    # between bands that agree on no hash function); collect_list order is
-    # nondeterministic, so sort the (h, minhash) structs by h
-    banded = (
-        sig.withColumn("band", (F.col("h") / (num_hashes // bands)).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("h", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_sig")
-        )
+    banded = minhash_band_signatures(
+        df, num_hashes, bands, shingle_len, text_col, id_col
     )
     a = banded.select(F.col(id_col).alias("id1"), "band", "band_sig")
     b = banded.select(F.col(id_col).alias("id2"), "band", "band_sig")

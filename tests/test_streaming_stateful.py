@@ -145,3 +145,58 @@ def test_streaming_assign_to_anchors(spark, tmp_path):
     assert got["n1"].anchor_id == "b1" and got["n1"].is_new == 0
     assert got["n1"].best_score == 1.0
     assert (got["n2"].anchor_id, got["n2"].is_new) == ("-1", 1)
+
+
+def test_streaming_near_dedup_across_batches(spark, tmp_path):
+    """LSH near-duplicate suppression across micro-batches: batch-internal
+    dup detected, cross-batch dup rejected via the persisted signature
+    store, genuinely new content kept and added to the store."""
+    from name_matching_spark.operators.dedup import minhash_lsh_pairs
+    from name_matching_spark.streaming.dedup import streaming_near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 6
+    dup_a = base.replace("lazy dog", "lazy cat", 1)
+    dup_b = base.replace("quick brown", "swift brown", 1)
+    other = "entirely unrelated corpus material about spark shuffles " * 6
+
+    # precondition (keeps the test honest if the texts change): the batch
+    # LSH at this config must see 1~2, 1~3 as candidates and not 1~4
+    allb = spark.createDataFrame(
+        [(1, base), (2, dup_a), (3, dup_b), (4, other)], "doc_id long, text string"
+    )
+    cand = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(allb, num_hashes=16, bands=4).collect()
+    }
+    assert (1, 2) in cand and (1, 3) in cand
+    assert all(4 not in p for p in cand)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, base), (2, dup_a)], "doc_id long, text string"
+    ).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(3, dup_b), (4, other)], "doc_id long, text string"
+    ).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    out_path = str(tmp_path / "verdicts")
+    store_path = str(tmp_path / "store")
+    q = streaming_near_dedup(
+        stream, out_path, store_path, str(tmp_path / "ckpt"),
+        num_hashes=16, bands=4, trigger_once=True,
+    )
+    q.awaitTermination(240)
+
+    got = {r.doc_id: r for r in spark.read.parquet(out_path).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].is_dup == 0 and got[1].dup_of is None
+    assert got[2].is_dup == 1 and got[2].dup_of == 1   # batch-internal
+    assert got[3].is_dup == 1 and got[3].dup_of == 1   # via the store
+    assert got[4].is_dup == 0
+    # only keepers' signatures persist
+    keepers = {r.doc_id for r in spark.read.parquet(store_path).collect()}
+    assert keepers == {1, 4}
