@@ -173,12 +173,15 @@ def test_streaming_near_dedup_across_batches(spark, tmp_path):
 
     src = tmp_path / "docs"
     src.mkdir()
+    # coalesce(1): one part file per logical batch — maxFilesPerTrigger
+    # batches at PART-file granularity, so a multi-part write would split
+    # (1, 2) across micro-batches and scramble the arrival order
     spark.createDataFrame(
         [(1, base), (2, dup_a)], "doc_id long, text string"
-    ).write.parquet(str(src / "b1"))
+    ).coalesce(1).write.parquet(str(src / "b1"))
     spark.createDataFrame(
         [(3, dup_b), (4, other)], "doc_id long, text string"
-    ).write.parquet(str(src / "b2"))
+    ).coalesce(1).write.parquet(str(src / "b2"))
 
     stream = spark.readStream.schema("doc_id long, text string").option(
         "maxFilesPerTrigger", "1"
