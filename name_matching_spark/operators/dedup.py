@@ -298,6 +298,88 @@ def shingle_jaccard_pairs(
     )
 
 
+# cap for broadcasting the per-doc shingle-id arrays into the rerank
+# kernel closure: total int64 elements across all docs (32 MB at the
+# default) — same adaptive pattern as similarity_search's vector broadcast
+BROADCAST_SHINGLE_ELEMENTS = 4_000_000
+
+
+def _collect_shingle_dict(sh: DataFrame, id_col: str):
+    """{doc_id: sorted int64 array of dense shingle ids}. Only called
+    once the cheap size probe in :func:`shingle_jaccard_rerank` has
+    bounded the total under ``BROADCAST_SHINGLE_ELEMENTS``. Dense ids
+    come from a localCheckpoint'd dictionary (provably collision-free,
+    unlike hashing the shingle string; monotonically_increasing_id is
+    plan-NONDETERMINISTIC, so the dictionary frame is pinned before the
+    join reuses it)."""
+    import numpy as np
+
+    ddict = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("_sid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    rows = (
+        sh.join(ddict, "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_sid")).alias("_sids"))
+        .collect()
+    )
+    return {r[0]: np.asarray(r[1], dtype=np.int64) for r in rows}
+
+
+def _pair_intersections_from_dict(cand: DataFrame, sets: dict) -> DataFrame:
+    """Append exact (intersection, size1, size2) looked up from the
+    closure-broadcast shingle-set dictionary — the rerank ships only the
+    id pair, never the postings. Pairs where either doc has no shingles
+    are DROPPED (mirrors the join path's inner join against the sizes
+    frame). Counts are exact integers (dense ids, no hash collisions)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    fields = list(cand.schema.fields)
+    out_schema = StructType(
+        fields
+        + [
+            StructField("intersection", LongType()),
+            StructField("size1", LongType()),
+            StructField("size2", LongType()),
+        ]
+    )
+    names = [f.name for f in fields]
+
+    def compute(batches):
+        for b in batches:
+            i1 = b.column(b.schema.get_field_index("id1")).to_pylist()
+            i2 = b.column(b.schema.get_field_index("id2")).to_pylist()
+            n = b.num_rows
+            inter = np.zeros(n, dtype=np.int64)
+            s1 = np.zeros(n, dtype=np.int64)
+            s2 = np.zeros(n, dtype=np.int64)
+            keep = np.zeros(n, dtype=bool)
+            for i in range(n):
+                a = sets.get(i1[i])
+                c = sets.get(i2[i])
+                if a is None or c is None:
+                    continue
+                keep[i] = True
+                s1[i] = a.size
+                s2[i] = c.size
+                inter[i] = np.intersect1d(a, c, assume_unique=True).size
+            mask = pa.array(keep)
+            arrays = [b.column(j).filter(mask) for j in range(b.num_columns)]
+            arrays.append(pa.array(inter[keep], type=pa.int64()))
+            arrays.append(pa.array(s1[keep], type=pa.int64()))
+            arrays.append(pa.array(s2[keep], type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names + ["intersection", "size1", "size2"]
+            )
+
+    return cand.mapInArrow(compute, out_schema)
+
+
 def shingle_jaccard_rerank(
     df: DataFrame,
     pairs: DataFrame,
@@ -305,6 +387,7 @@ def shingle_jaccard_rerank(
     shingle_len: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_shingles: bool | None = None,
 ) -> DataFrame:
     """EXACT shingle-set Jaccard for GIVEN candidate pairs — the rerank
     stage of the production near-dup pipeline
@@ -319,24 +402,56 @@ def shingle_jaccard_rerank(
     ``pairs`` needs columns (id1, id2); Jaccard values are exact (full
     shingle sets, including pairs whose intersection is 0 via the left
     join). Output matches ``shingle_jaccard_pairs``.
+
+    ``broadcast_shingles`` (None = auto when the corpus's total shingle
+    count fits ``BROADCAST_SHINGLE_ELEMENTS``): the pair stage ships only
+    the id pair and intersects dense-id shingle sets from the kernel
+    closure instead of joining candidates to the postings — exact counts
+    (dictionary ids, no hash collisions), identical output incl. the
+    jaccard division (same integer columns, same single IEEE division in
+    the plan). Big corpora fall back to the postings-join path
+    automatically — the scale-safe shape.
     """
     sh = _shingles(df, text_col, id_col, shingle_len)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    t1 = sh.select(F.col(id_col).alias("id1"), "shingle")
-    t2 = sh.select(F.col(id_col).alias("id2"), "shingle")
     cand = pairs.select("id1", "id2")
-    inter = (
-        cand.join(t1, "id1")
-        .join(t2, ["id2", "shingle"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("intersection"))
-    )
+    sets = None
+    if broadcast_shingles or broadcast_shingles is None:
+        # cheap narrow probe: sum(length(text)) upper-bounds the distinct
+        # shingle total (len-k+1 or 1 per doc, each <= len), so the
+        # decision to bail never pays the shingling scan itself
+        bound = df.select(F.sum(F.length(text_col))).first()[0] or 0
+        if bound <= BROADCAST_SHINGLE_ELEMENTS:
+            sets = _collect_shingle_dict(sh, id_col)
+        elif broadcast_shingles:
+            raise ValueError("corpus exceeds BROADCAST_SHINGLE_ELEMENTS")
+    if sets is not None:
+        counted = _pair_intersections_from_dict(cand, sets)
+    else:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+        t1 = sh.select(F.col(id_col).alias("id1"), "shingle")
+        t2 = sh.select(F.col(id_col).alias("id2"), "shingle")
+        inter = (
+            cand.join(t1, "id1")
+            .join(t2, ["id2", "shingle"])
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("intersection"))
+        )
+        counted = (
+            cand.join(inter, ["id1", "id2"], "left")
+            .withColumn(
+                "intersection", F.coalesce(F.col("intersection"), F.lit(0))
+            )
+            .join(
+                sizes.withColumnsRenamed({id_col: "id1", "set_size": "size1"}),
+                "id1",
+            )
+            .join(
+                sizes.withColumnsRenamed({id_col: "id2", "set_size": "size2"}),
+                "id2",
+            )
+        )
     return (
-        cand.join(inter, ["id1", "id2"], "left")
-        .withColumn("intersection", F.coalesce(F.col("intersection"), F.lit(0)))
-        .join(sizes.withColumnsRenamed({id_col: "id1", "set_size": "size1"}), "id1")
-        .join(sizes.withColumnsRenamed({id_col: "id2", "set_size": "size2"}), "id2")
-        .withColumn(
+        counted.withColumn(
             "jaccard",
             F.col("intersection")
             / (F.col("size1") + F.col("size2") - F.col("intersection")),

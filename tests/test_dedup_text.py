@@ -633,3 +633,41 @@ def test_line_dedup_semantics(spark):
     assert rows[2]["text_dedup"] == "body two\nonly twice\nonly twice"
     # doc 3 is all boilerplate -> empty result, not a dropped row
     assert rows[3]["n_removed"] == 1 and rows[3]["text_dedup"] == ""
+
+
+def test_shingle_rerank_broadcast_equals_join_path(spark):
+    """The closure-broadcast rerank must equal the postings-join path
+    EXACTLY — same pairs, same integer counts, same jaccard doubles —
+    including the dropped-pair semantics for docs with no shingles and
+    ids absent from the corpus."""
+    from name_matching_spark.operators.dedup import shingle_jaccard_rerank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij klmnop"),
+            (2, "abcdefghij klmnoX"),
+            (3, "zz"),  # shorter than shingle_len (whole text = 1 shingle)
+            (4, "totally different content here"),
+            (5, ""),    # empty text: genuinely no shingles
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 9)],  # (2,9): absent id
+        "id1 long, id2 long",
+    )
+    fast = {
+        (r.id1, r.id2): (r.intersection, r.size1, r.size2, r.jaccard)
+        for r in shingle_jaccard_rerank(
+            docs, cand, threshold=0.0, broadcast_shingles=True
+        ).collect()
+    }
+    slow = {
+        (r.id1, r.id2): (r.intersection, r.size1, r.size2, r.jaccard)
+        for r in shingle_jaccard_rerank(
+            docs, cand, threshold=0.0, broadcast_shingles=False
+        ).collect()
+    }
+    assert fast == slow and (1, 2) in fast and (1, 3) in fast
+    assert (2, 9) not in fast  # absent-id inner-join drop parity
+    assert ((1, 5) in fast) == ((1, 5) in slow)  # no-shingle drop parity
