@@ -304,29 +304,45 @@ def shingle_jaccard_pairs(
 BROADCAST_SHINGLE_ELEMENTS = 4_000_000
 
 
-def _collect_shingle_dict(sh: DataFrame, id_col: str):
+def _collect_shingle_dict(
+    df: DataFrame, text_col: str, id_col: str, shingle_len: int
+):
     """{doc_id: sorted int64 array of dense shingle ids}. Only called
     once the cheap size probe in :func:`shingle_jaccard_rerank` has
-    bounded the total under ``BROADCAST_SHINGLE_ELEMENTS``. Dense ids
-    come from a localCheckpoint'd dictionary (provably collision-free,
-    unlike hashing the shingle string; monotonically_increasing_id is
-    plan-NONDETERMINISTIC, so the dictionary frame is pinned before the
-    join reuses it)."""
+    bounded the total under ``BROADCAST_SHINGLE_ELEMENTS``.
+
+    ONE shuffle (collect_set doubles as the per-doc distinct — no
+    separate distinct job, no dictionary join); shingling stays JVM-side
+    so both rerank paths see byte-identical shingle semantics. Dense ids
+    are assigned driver-side in encounter order — any bijection
+    shingle->id preserves intersection sizes, so the nondeterministic
+    set order is irrelevant and the counts stay provably collision-free
+    (unlike hashing the shingle string)."""
     import numpy as np
 
-    ddict = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn("_sid", F.monotonically_increasing_id())
-        .localCheckpoint()
-    )
     rows = (
-        sh.join(ddict, "shingle")
+        df.select(
+            F.col(id_col),
+            F.explode(_shingle_array(text_col, shingle_len)).alias("shingle"),
+        )
         .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("_sid")).alias("_sids"))
+        .agg(F.collect_set("shingle").alias("_sh"))
         .collect()
     )
-    return {r[0]: np.asarray(r[1], dtype=np.int64) for r in rows}
+    ids: dict = {}
+    out = {}
+    for r in rows:
+        shingles = r[1]
+        arr = np.empty(len(shingles), dtype=np.int64)
+        for j, s in enumerate(shingles):
+            v = ids.get(s)
+            if v is None:
+                v = len(ids)
+                ids[s] = v
+            arr[j] = v
+        arr.sort()
+        out[r[0]] = arr
+    return out
 
 
 def _pair_intersections_from_dict(cand: DataFrame, sets: dict) -> DataFrame:
@@ -421,7 +437,7 @@ def shingle_jaccard_rerank(
         # decision to bail never pays the shingling scan itself
         bound = df.select(F.sum(F.length(text_col))).first()[0] or 0
         if bound <= BROADCAST_SHINGLE_ELEMENTS:
-            sets = _collect_shingle_dict(sh, id_col)
+            sets = _collect_shingle_dict(df, text_col, id_col, shingle_len)
         elif broadcast_shingles:
             raise ValueError("corpus exceeds BROADCAST_SHINGLE_ELEMENTS")
     if sets is not None:
