@@ -97,15 +97,69 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.union(centers)
 
 
+# cap for the driver union-find fast path: canonical (deduplicated) edges
+# collected to the driver (~16 MB of int64 pairs at the default, and a
+# bounded ~1-2 s of driver CPU worst case). Same
+# adaptive pattern as the dict-encoded scoring and vector-broadcast paths:
+# small graphs skip the O(log n)-round star fixpoint (each round is several
+# fixed-overhead Spark jobs); big graphs keep the distributed shape.
+CC_DRIVER_EDGE_CAP = 1_000_000
+
+
+def _driver_union_find(cur: DataFrame) -> DataFrame:
+    """(record_id, cluster_id) via union-find over a collected canonical
+    edge list — labels are component minima (the smaller root always wins
+    the union), identical to the star fixpoint's output for ANY edge set;
+    `<` on ids matches F.least/F.greatest for both numeric and string ids."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in cur.collect():
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+
+    id_type = cur.schema["u"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("record_id", id_type), StructField("cluster_id", id_type)]
+    )
+    spark = cur.sparkSession
+    return spark.createDataFrame(
+        [(x, find(x)) for x in parent], schema
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id1",
     dst: str = "id2",
     max_iterations: int = 50,
     checkpoint_every: int = 1,
+    driver_fast_path: bool | None = None,
 ) -> DataFrame:
     """Edges -> (record_id, cluster_id) for every node appearing in an edge;
-    cluster_id = minimum member id of the component."""
+    cluster_id = minimum member id of the component.
+
+    ``driver_fast_path`` (None = auto when the canonical edge count fits
+    ``CC_DRIVER_EDGE_CAP``): small edge lists are resolved by a driver-side
+    union-find — bit-identical labels (parity-tested), no per-round job
+    overhead. The star fixpoint below is the 10^12-edge scale shape and
+    remains the automatic fallback."""
     def _stats(df: DataFrame) -> tuple:
         row = df.agg(
             F.count("*").alias("n"),
@@ -119,6 +173,12 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint()
     prev = _stats(cur)
+    if driver_fast_path is None:
+        driver_fast_path = prev[0] <= CC_DRIVER_EDGE_CAP
+    elif driver_fast_path and prev[0] > CC_DRIVER_EDGE_CAP:
+        raise ValueError("edge list exceeds CC_DRIVER_EDGE_CAP")
+    if driver_fast_path:
+        return _driver_union_find(cur)
 
     for it in range(max_iterations):
         stepped = _canonical(_small_star(_large_star(cur)))

@@ -39,17 +39,34 @@ def _random_edges(n_nodes, n_edges, seed):
 
 
 @pytest.mark.parametrize("n_nodes,n_edges,seed", [(30, 20, 1), (100, 60, 2), (50, 120, 3)])
-def test_components_match_union_find(spark, n_nodes, n_edges, seed):
+@pytest.mark.parametrize("fast_path", [True, False])
+def test_components_match_union_find(spark, n_nodes, n_edges, seed, fast_path):
+    """Both the driver union-find fast path and the star fixpoint must
+    reproduce the oracle labels exactly."""
     nodes, edges = _random_edges(n_nodes, n_edges, seed)
     df = spark.createDataFrame(edges, ["id1", "id2"])
     got = {
         r["record_id"]: r["cluster_id"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, driver_fast_path=fast_path).collect()
     }
     touched = sorted({x for e in edges for x in e})
     want = _union_find_components(edges, touched)
     want_touched = {n: want[n] for n in touched}
     assert got == want_touched
+
+
+def test_components_fast_path_cap(spark, monkeypatch):
+    """Over the cap: auto mode falls back to the star fixpoint (same
+    labels); an explicit fast-path request raises."""
+    from name_matching_spark.operators import clustering as C
+
+    edges = [(f"n{i}", f"n{i+1}") for i in range(10)]
+    df = spark.createDataFrame(edges, ["id1", "id2"])
+    monkeypatch.setattr(C, "CC_DRIVER_EDGE_CAP", 5)
+    got = {r["record_id"]: r["cluster_id"] for r in C.connected_components(df).collect()}
+    assert len(got) == 11 and set(got.values()) == {"n0"}
+    with pytest.raises(ValueError):
+        C.connected_components(df, driver_fast_path=True).collect()
 
 
 def test_long_chain(spark):
