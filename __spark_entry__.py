@@ -2884,6 +2884,44 @@ def _q105_oracle() -> str:
     """
 
 
+def q106_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-level survivorship (golden-record fusion,
+    ``clustering.golden_record``): per q16-rule entity cluster and per
+    field, the most frequent non-null value wins, ties to the smaller
+    value — the merge step that fills the canonical row from ALL cluster
+    members instead of copying one survivor row (complement of q53's
+    row-level ``select_canonical``)."""
+    from name_matching_spark.operators.clustering import golden_record
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    clusters = norm.select(
+        "record_id",
+        F.min("record_id").over(Window.partitionBy("full_std")).alias("cluster_id"),
+    )
+    return golden_record(
+        person, clusters, ["first_name", "city_name", "province_name"]
+    )
+
+
+def q107_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus
+    (``similarity_search.semantic_dedup``): coarse-quantizer clusters,
+    within-cluster cosine >= 0.3, pointwise lower-id drop rule. The oracle
+    reproduces quantizer, assignment, pair stage, and drop rule in SQL."""
+    from name_matching_spark.operators.similarity_search import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.3, n_centroids=16)
+    return out.select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("is_kept").cast("int").alias("is_kept"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3007,6 +3045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_line_dedup": q103_line_dedup,
         "q104_constrained_clusters": q104_constrained_clusters,
         "q105_smith_waterman": q105_smith_waterman,
+        "q106_golden_record": q106_golden_record,
+        "q107_semantic_dedup": q107_semantic_dedup,
     }
 
 
@@ -5128,6 +5168,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q77_soft_tfidf": _q77_oracle(),
         "q105_smith_waterman": _q105_oracle(),
+        "q106_golden_record": _PERSON_CTE + f""",
+            named AS (SELECT record_id, first_name, city_name, province_name,
+                trim(lower(first_name) || ' ' ||
+                     trim({_ORACLE_MIDDLE} || ' ' || {_ORACLE_LAST})) AS full_std
+                FROM person),
+            cl AS (SELECT *,
+                     min(record_id) OVER (PARTITION BY full_std) AS cluster_id
+                   FROM named),
+            lng AS (
+                SELECT cluster_id, 'first_name' AS field, first_name AS value
+                FROM cl WHERE first_name IS NOT NULL
+                UNION ALL
+                SELECT cluster_id, 'city_name', city_name
+                FROM cl WHERE city_name IS NOT NULL
+                UNION ALL
+                SELECT cluster_id, 'province_name', province_name
+                FROM cl WHERE province_name IS NOT NULL),
+            counted AS (SELECT cluster_id, field, value, count(*) AS n
+                        FROM lng GROUP BY 1, 2, 3),
+            r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id, field
+                              ORDER BY n DESC, value ASC) AS rn
+                  FROM counted)
+            SELECT cluster_id, field, value AS golden_value,
+                   CAST(n AS BIGINT) AS n_votes
+            FROM r WHERE rn = 1
+        """,
+        "q107_semantic_dedup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            en AS (SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                         i -> v[i] * v[i]))) AS vn
+                   FROM e),
+            cent AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn
+                     FROM en ORDER BY vec_id LIMIT 16),
+            asn0 AS (SELECT en.vec_id, en.v, en.vn, cent.centroid_id,
+                       CASE WHEN en.vn = 0 OR cent.cn = 0 THEN 0.0
+                            ELSE list_sum(list_transform(range(1, len(en.v) + 1),
+                                   i -> en.v[i] * cent.cv[i])) / (en.vn * cent.cn)
+                       END AS csim
+                     FROM en, cent),
+            asn AS (SELECT vec_id, v, vn, centroid_id FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, centroid_id ASC) AS cr
+                      FROM asn0)
+                    WHERE cr = 1),
+            prs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1,
+                           a.vn AS n1, b.v AS v2, b.vn AS n2
+                    FROM asn a JOIN asn b ON a.centroid_id = b.centroid_id
+                                         AND a.vec_id < b.vec_id),
+            cs AS (SELECT id1, id2,
+                     CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+                          ELSE list_sum(list_transform(range(1, len(v1) + 1),
+                                 k -> v1[k] * v2[k])) / (n1 * n2) END AS cosine
+                   FROM prs),
+            dup AS (SELECT id2, min(id1) AS dup_of
+                    FROM cs WHERE cosine >= 0.3 GROUP BY 1)
+            SELECT asn.vec_id,
+                   CAST(asn.centroid_id AS BIGINT) AS centroid_id,
+                   CAST(coalesce(dup.dup_of, asn.vec_id) AS BIGINT) AS canonical_id,
+                   CAST(CASE WHEN dup.id2 IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
+            FROM asn LEFT JOIN dup ON asn.vec_id = dup.id2
+        """,
         "q78_em_params": _q78_oracle(),
         "q79_em_predict": _q79_oracle(),
         "q80_review_queue": _q80_oracle(),

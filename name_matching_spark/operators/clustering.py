@@ -21,6 +21,7 @@ __all__ = [
     "assign_clusters",
     "constrained_clusters",
     "select_canonical",
+    "golden_record",
     "group_linkage",
 ]
 
@@ -51,6 +52,69 @@ def select_canonical(
         .withColumn("n_members", F.count("*").over(n))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def golden_record(
+    records: DataFrame,
+    clusters: DataFrame,
+    value_cols: list,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Attribute-level survivorship (the fusion step after
+    :func:`select_canonical`'s row-level pick): per cluster and per field
+    INDEPENDENTLY, the golden value is the most frequent non-null value,
+    ties broken by the smaller value — a deterministic majority-vote merge,
+    so the golden record can mix fields from different source rows.
+
+    Values are compared/emitted as strings (pass string columns, or accept
+    Spark cast semantics for others). Fields that are null across the whole
+    cluster emit no row. Output (long format, one row per surviving value):
+    ``(cluster_col, field, golden_value, n_votes)``.
+
+    Scale shape: one explode to (cluster, field, value) — rows x |fields|,
+    still narrow — then two keyed aggregations ending in ``min_by`` over
+    ``struct(-n, value)``; everything map-side combines, no window over the
+    row stream.
+    """
+    joined = records.join(clusters, id_col)
+    long = joined.select(
+        F.col(cluster_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("field"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in value_cols
+                ]
+            )
+        ).alias("_fv"),
+    ).select(cluster_col, "_fv.field", "_fv.value").filter(
+        F.col("value").isNotNull()
+    )
+    counted = long.groupBy(cluster_col, "field", "value").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        counted.groupBy(cluster_col, "field")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("value").alias("golden_value"),
+                    F.col("_n").alias("n_votes"),
+                ),
+                F.struct((-F.col("_n")).alias("a"), F.col("value").alias("b")),
+            ).alias("_g")
+        )
+        .select(
+            cluster_col,
+            "field",
+            F.col("_g.golden_value").alias("golden_value"),
+            F.col("_g.n_votes").cast("long").alias("n_votes"),
+        )
     )
 
 

@@ -25,6 +25,7 @@ __all__ = [
     "lsh_topk",
     "lsh_near_dupes",
     "ivf_topk",
+    "semantic_dedup",
     "ivf_assignments",
     "centroid_update",
     "banding_candidate_prob",
@@ -404,6 +405,54 @@ def _kmeans_centroids(
     )
 
 
+def _coarse_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    centroids: str,
+    kmeans_seed: int,
+) -> DataFrame:
+    """(centroid_id, cv) coarse-quantizer frame — ``deterministic`` (the
+    n_centroids lowest-id corpus vectors, fully SQL-expressible for
+    oracles) or seeded ``kmeans`` (the production choice)."""
+    if centroids == "kmeans":
+        return _kmeans_centroids(corpus, n_centroids, vec_col, kmeans_seed)
+    if centroids == "deterministic":
+        return (
+            corpus.orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"),
+            )
+        )
+    raise ValueError("centroids must be 'deterministic' or 'kmeans'")
+
+
+def _nearest_centroids(
+    df: DataFrame,
+    cent: DataFrame,
+    side_id: str,
+    keep: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Attach the ``keep`` nearest centroid ids (by cosine, ties on
+    centroid id) to every row of ``df`` — broadcast centroids, one window
+    per side row."""
+    v = df.select(F.col(id_col).alias(side_id), F.col(vec_col).alias("v"))
+    scored = _with_pair_cosine(
+        v.join(F.broadcast(cent), how="cross"),
+        "v", "cv", out="csim", drop=("cv",),
+    )
+    w = Window.partitionBy(side_id).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= keep)
+        .select(side_id, "v", "centroid_id")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -434,35 +483,12 @@ def ivf_topk(
     shuffle on ``centroid_id`` for the probe join (each inverted list is a
     partition-local scan), one window for top-k.
     """
-    if centroids == "kmeans":
-        cent = _kmeans_centroids(corpus, n_centroids, vec_col, kmeans_seed)
-    elif centroids == "deterministic":
-        cent = (
-            corpus.orderBy(F.col(id_col))
-            .limit(n_centroids)
-            .select(
-                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"),
-            )
-        )
-    else:
-        raise ValueError("centroids must be 'deterministic' or 'kmeans'")
+    cent = _coarse_centroids(
+        corpus, n_centroids, id_col, vec_col, centroids, kmeans_seed
+    )
 
     def _nearest(df: DataFrame, side_id: str, keep: int) -> DataFrame:
-        """Attach the ``keep`` nearest centroid ids (by cosine, ties on
-        centroid id) to every row of ``df``."""
-        v = df.select(
-            F.col(id_col).alias(side_id), F.col(vec_col).alias("v"),
-        )
-        scored = _with_pair_cosine(
-            v.join(F.broadcast(cent), how="cross"),
-            "v", "cv", out="csim", drop=("cv",),
-        )
-        w = Window.partitionBy(side_id).orderBy(F.desc("csim"), F.asc("centroid_id"))
-        return (
-            scored.withColumn("_cr", F.row_number().over(w))
-            .filter(F.col("_cr") <= keep)
-            .select(side_id, "v", "centroid_id")
-        )
+        return _nearest_centroids(df, cent, side_id, keep, id_col, vec_col)
 
     lists = _nearest(corpus, "neighbor_id", 1)
     probes = _nearest(queries, "query_id", n_probe)
@@ -477,6 +503,63 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "deterministic",
+    kmeans_seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding corpus with a coarse
+    quantizer, then compare pairs only WITHIN each cluster and drop every
+    vector that has a lower-id cluster-mate at cosine >= ``threshold``.
+
+    The pointwise drop rule is the paper's (no transitive closure): a row
+    is dropped iff some lower-id member of its own cluster is a semantic
+    duplicate; ``canonical_id`` is the smallest such duplicate (the
+    evidence pointer), or the row's own id when kept.
+
+    Output: ``(vec_id, centroid_id, canonical_id, is_kept)`` for every
+    corpus row.
+
+    Scale shape: broadcast centroid set -> argmin assignment (narrow) ->
+    ONE shuffle on centroid_id for the within-cluster self-join -> batched
+    Arrow cosine on the pair stream -> per-victim min aggregate. Pair count
+    is sum of cluster sizes squared / 2 — the quantizer bounds it (that is
+    the SemDeDup design point; all-pairs never materializes across
+    clusters). Quantizer choice as in :func:`ivf_topk`: ``deterministic``
+    keeps the whole structure SQL-expressible; ``kmeans`` (seeded) is the
+    production choice with balanced lists.
+    """
+    cent = _coarse_centroids(
+        corpus, n_centroids, id_col, vec_col, centroids, kmeans_seed
+    )
+    asn = _nearest_centroids(corpus, cent, "_rid", 1, id_col, vec_col)
+    a = asn.select(
+        F.col("_rid").alias("id1"), F.col("v").alias("v1"), "centroid_id"
+    )
+    b = asn.select(
+        F.col("_rid").alias("id2"), F.col("v").alias("v2"), "centroid_id"
+    )
+    dup_edges = _with_pair_cosine(
+        a.join(b, "centroid_id").filter(F.col("id1") < F.col("id2")),
+        "v1", "v2",
+    ).filter(F.col("cosine") >= threshold)
+    victims = dup_edges.groupBy("id2").agg(F.min("id1").alias("_dup_of"))
+    return (
+        asn.join(victims, asn["_rid"] == victims["id2"], "left")
+        .select(
+            F.col("_rid").alias(id_col),
+            "centroid_id",
+            F.coalesce(F.col("_dup_of"), F.col("_rid")).alias("canonical_id"),
+            F.col("_dup_of").isNull().cast("int").alias("is_kept"),
+        )
     )
 
 

@@ -188,3 +188,76 @@ def test_constrained_clusters_no_constraints_matches_assign(spark):
     }
     assert {k: v[0] for k, v in got.items()} == base
     assert all(v[1] == 0 for v in got.values())
+
+
+def test_golden_record_majority_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.operators.clustering import golden_record
+
+    records = spark.createDataFrame(
+        [
+            (1, "Jose", "QC"),
+            (2, "Jose", None),
+            (3, "Josef", "QC"),
+            (10, "Ana", "Cebu"),
+            (11, "Anna", "Cebu City"),  # 1-1 tie on city -> smaller string
+            (20, None, None),  # all-null cluster -> no rows at all
+        ],
+        ["record_id", "first", "city"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        ["record_id", "cluster_id"],
+    )
+    got = {
+        (r.cluster_id, r.field): (r.golden_value, r.n_votes)
+        for r in golden_record(records, clusters, ["first", "city"]).collect()
+    }
+    assert got[(1, "first")] == ("Jose", 2)
+    assert got[(1, "city")] == ("QC", 2)  # nulls never vote
+    assert got[(10, "first")] == ("Ana", 1)  # tie -> lexicographically smaller
+    assert got[(10, "city")] == ("Cebu", 1)
+    assert not any(c == 20 for c, _ in got)
+
+
+def test_semantic_dedup_pointwise_rule(spark):
+    from name_matching_spark.operators.similarity_search import semantic_dedup
+
+    # centroids = the 2 lowest ids (1 and 2), so cluster A = {1,3,4}
+    # (near [1,0]) and B = {2,5}; 5 is same-direction-ish but below the
+    # threshold (kept)
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.999, 0.01]),
+            (4, [0.998, -0.01]),
+            (5, [0.3, 0.7]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.canonical_id, r.is_kept)
+        for r in semantic_dedup(emb, threshold=0.99, n_centroids=2).collect()
+    }
+    assert got[1] == (1, 1) and got[2] == (2, 1)
+    # pointwise rule: 3 and 4 each have lower-id duplicate evidence; both
+    # point at the SMALLEST such id (1), no transitive chasing
+    assert got[3] == (1, 0) and got[4] == (1, 0)
+    assert got[5] == (5, 1)  # same cluster as 2, cosine 0.92 < 0.99
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    from name_matching_spark.operators.similarity_search import semantic_dedup
+
+    # near-duplicate vectors that are EACH their own centroid land in
+    # different clusters and are never compared (cosine 0.994 > threshold
+    # would have dropped vec 2 had they shared a cluster) — the quantizer
+    # bounds the pair stage, recall is cluster-local by design
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    got = semantic_dedup(emb, threshold=0.9, n_centroids=2).collect()
+    assert all(r.is_kept == 1 for r in got)
