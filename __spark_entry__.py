@@ -2922,6 +2922,40 @@ def q107_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q108_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking over the multipass block collection
+    (``blocking.meta_blocking_wnp``): phonetic + token-sort + metaphone
+    passes build a redundancy-positive block graph; CBS edge weights and
+    weighted node pruning drop the weak one-shared-block edges before any
+    pairwise scoring. Bounded to record_id < 3000 on BOTH sides (same
+    literal-slice convention as q18/q88) so the output stays hashable at
+    sf0.1; the integer cross-multiplied keep rule makes the oracle
+    bit-exact."""
+    from name_matching_spark.operators.blocking import (
+        blocking_key_column,
+        meta_blocking_wnp,
+    )
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+
+    person = _person_df(spark, sf_dir).filter(F.col("record_id") < 3000)
+    sc = spark.sparkContext
+    if person.rdd.getNumPartitions() < sc.defaultParallelism:
+        person = person.repartition(sc.defaultParallelism)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    keyed = norm.select(
+        "record_id",
+        blocking_key_column("phonetic").alias("_kp"),
+        blocking_key_column("token_sorted").alias("_kt"),
+        blocking_key_column("metaphone").alias("_km"),
+    ).localCheckpoint(eager=False)  # consumed by 3 union arms x 2 join sides
+    blocks = (
+        keyed.select("record_id", F.concat(F.lit("p|"), F.col("_kp")).alias("block_key"))
+        .unionAll(keyed.select("record_id", F.concat(F.lit("t|"), F.col("_kt"))))
+        .unionAll(keyed.select("record_id", F.concat(F.lit("m|"), F.col("_km"))))
+    )
+    return meta_blocking_wnp(blocks, max_block_size=1000)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3047,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_smith_waterman": q105_smith_waterman,
         "q106_golden_record": q106_golden_record,
         "q107_semantic_dedup": q107_semantic_dedup,
+        "q108_meta_blocking": q108_meta_blocking,
     }
 
 
@@ -5229,6 +5264,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(dup.dup_of, asn.vec_id) AS BIGINT) AS canonical_id,
                    CAST(CASE WHEN dup.id2 IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
             FROM asn LEFT JOIN dup ON asn.vec_id = dup.id2
+        """,
+        "q108_meta_blocking": _PERSON_CTE + f""",
+            named AS (SELECT record_id,
+                             {_SORTED_FULL_SQL} AS sorted_full,
+                             upper(substr(first_name, 1, 1)) AS fc,
+                             {_sdx_sql(_ORACLE_LAST)} AS sdx,
+                             {_metaphone_sql(_ORACLE_LAST)} AS mp
+                      FROM person WHERE record_id < 3000),
+            blocks AS (
+                SELECT record_id, 'p|' || fc || '|' || sdx AS bk FROM named
+                UNION ALL
+                SELECT record_id,
+                       't|' || (CASE WHEN sorted_full = '' THEN 'UNKNOWN'
+                                     ELSE sorted_full END)
+                FROM named
+                UNION ALL
+                SELECT record_id,
+                       'm|' || fc || '|' ||
+                       (CASE WHEN mp = '' THEN '0000' ELSE mp END)
+                FROM named),
+            b AS (SELECT DISTINCT record_id, bk FROM blocks),
+            szs AS (SELECT bk, count(*) AS n FROM b GROUP BY 1),
+            bb AS (SELECT b.record_id, b.bk
+                   FROM b JOIN szs USING (bk) WHERE szs.n <= 1000),
+            e AS (SELECT x.record_id AS id1, y.record_id AS id2,
+                         count(*) AS cbs
+                  FROM bb x JOIN bb y ON x.bk = y.bk
+                                     AND x.record_id < y.record_id
+                  GROUP BY 1, 2),
+            node AS (SELECT nid, sum(cbs) AS sw, count(*) AS ne
+                     FROM (SELECT id1 AS nid, cbs FROM e
+                           UNION ALL SELECT id2, cbs FROM e)
+                     GROUP BY 1)
+            SELECT e.id1, e.id2, CAST(e.cbs AS BIGINT) AS cbs
+            FROM e
+            JOIN node n1 ON n1.nid = e.id1
+            JOIN node n2 ON n2.nid = e.id2
+            WHERE e.cbs * n1.ne >= n1.sw OR e.cbs * n2.ne >= n2.sw
         """,
         "q78_em_params": _q78_oracle(),
         "q79_em_predict": _q79_oracle(),

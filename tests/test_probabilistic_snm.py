@@ -511,3 +511,38 @@ def test_roc_auc_perfect_separation(spark):
         "score long, is_match boolean",
     )
     assert roc_auc(df2, "score").collect()[0].auc_ppm == 0
+
+
+def test_meta_blocking_wnp_hand_computed(spark):
+    """WNP keep rule on a hand-worked graph: the weak one-shared-block
+    edge between two nodes that BOTH have a stronger neighborhood is
+    pruned; every other edge survives via at least one endpoint."""
+    from name_matching_spark.operators.blocking import meta_blocking_wnp
+
+    blocks = spark.createDataFrame(
+        [
+            ("A", "k1"), ("B", "k1"),
+            ("A", "k2"), ("B", "k2"),   # (A,B) cbs=2
+            ("A", "k3"), ("E", "k3"),   # (A,E) cbs=1 — pruned (avgs 1.5/1.5)
+            ("E", "k4"), ("F", "k4"),
+            ("E", "k5"), ("F", "k5"),   # (E,F) cbs=2
+        ],
+        "record_id string, block_key string",
+    )
+    got = {(r.id1, r.id2): r.cbs for r in meta_blocking_wnp(blocks).collect()}
+    assert got == {("A", "B"): 2, ("E", "F"): 2}
+
+
+def test_meta_blocking_purges_oversized_blocks(spark):
+    """Block purging: an oversized stopword-like block contributes no
+    edges at all; duplicate (record, key) rows never inflate CBS."""
+    from name_matching_spark.operators.blocking import meta_blocking_wnp
+
+    rows = [("A", "k1"), ("B", "k1"), ("A", "k1")]  # dup membership row
+    rows += [(x, "hot") for x in "ABCDEFGH"]
+    blocks = spark.createDataFrame(rows, "record_id string, block_key string")
+    got = {(r.id1, r.id2): r.cbs for r in meta_blocking_wnp(blocks, max_block_size=4).collect()}
+    assert got == {("A", "B"): 1}
+    # without the cap the hot block's edges appear
+    full = meta_blocking_wnp(blocks).count()
+    assert full == 8 * 7 // 2  # all pairs of the hot block (incl. (A,B))
