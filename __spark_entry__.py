@@ -2956,6 +2956,18 @@ def q108_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_blocking_wnp(blocks, max_block_size=1000)
 
 
+def q109_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-span detection (``dedup.duplicate_spans``,
+    arXiv:2107.06499 shape): 20-char substrings occurring >= 2 times
+    anywhere in the corpus mark spans; overlapping/adjacent windows merge.
+    Linear in corpus characters — no pair stage — which is the whole point
+    of substring-level dedup at 100 TB."""
+    from name_matching_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3082,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_golden_record": q106_golden_record,
         "q107_semantic_dedup": q107_semantic_dedup,
         "q108_meta_blocking": q108_meta_blocking,
+        "q109_duplicate_spans": q109_duplicate_spans,
     }
 
 
@@ -5302,6 +5315,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN node n1 ON n1.nid = e.id1
             JOIN node n2 ON n2.nid = e.id2
             WHERE e.cbs * n1.ne >= n1.sw OR e.cbs * n2.ne >= n2.sw
+        """,
+        "q109_duplicate_spans": """
+            WITH d AS (SELECT doc_id,
+                              lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+                       FROM documents),
+            pos_ AS (SELECT doc_id, n,
+                            CAST(unnest(range(1, len(n) - 20 + 2)) AS BIGINT) AS pos
+                     FROM d WHERE len(n) >= 20),
+            g AS (SELECT doc_id, pos, substr(n, pos, 20) AS gram FROM pos_),
+            dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+            isl AS (SELECT doc_id, pos,
+                           CASE WHEN lag(pos) OVER w IS NULL
+                                  OR pos - lag(pos) OVER w > 20
+                                THEN 1 ELSE 0 END AS brk
+                    FROM hits
+                    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            grp AS (SELECT doc_id, pos,
+                           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                    FROM isl)
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 19 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 20 - min(pos) AS BIGINT) AS span_len
+            FROM grp GROUP BY doc_id, grp
         """,
         "q78_em_params": _q78_oracle(),
         "q79_em_predict": _q79_oracle(),

@@ -42,6 +42,9 @@ HEADLINE = [
     "q84_roc_auc",
     "q86_tfidf_cosine",
     "q88_ppjoin",
+    "q107_semantic_dedup",
+    "q108_meta_blocking",
+    "q109_duplicate_spans",
     "q103_line_dedup",
     "q104_constrained_clusters",
     "q105_smith_waterman",

@@ -33,6 +33,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dupes",
     "winnowing_fingerprints",
+    "duplicate_spans",
 ]
 
 
@@ -958,4 +959,75 @@ def ppjoin_prefix_pairs(
         )
         .filter(F.col("jaccard") >= float(threshold))
         .select("id1", "id2", "intersection", "size1", "size2", "jaccard")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): every ``k``-char substring of the normalized text
+    (lowercased, whitespace collapsed — the shingle family's canonical
+    form) that occurs at least TWICE anywhere in the corpus — another doc
+    or elsewhere in the same doc — marks its window; overlapping or
+    adjacent marked windows merge into maximal spans.
+
+    Output: ``(doc_id, span_start, span_end, span_len)`` with 1-based
+    inclusive character offsets into the NORMALIZED text. Docs shorter
+    than ``k`` (after normalization) contribute and receive nothing.
+
+    Scale shape: one position-explode (a row per character — the
+    relational analog of the paper's suffix array), one census groupBy on
+    the k-gram, one semi-join keeping duplicated positions, and a per-doc
+    window for island merging (partition-local by doc; rows at that point
+    are only the duplicated positions). No pair stage anywhere — cost is
+    linear in corpus characters, never in duplicate pairs, which is what
+    makes ExactSubstr viable where pairwise dedup is not.
+    """
+    from pyspark.sql.window import Window
+
+    grams = F.expr(
+        f"regexp_extract_all(lower(regexp_replace({text_col}, '\\\\s+', ' ')), "
+        f"'(?=(.{{{k}}})).', 1)"
+    )
+    pos = df.select(F.col(id_col), F.posexplode(grams).alias("_p0", "gram"))
+    dup = (
+        pos.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("gram")
+    )
+    hits = pos.join(dup, "gram", "left_semi").select(
+        F.col(id_col), (F.col("_p0") + 1).alias("pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        hits.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_brk",
+            (
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k)
+            ).cast("int"),
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
     )

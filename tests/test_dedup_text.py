@@ -671,3 +671,51 @@ def test_shingle_rerank_broadcast_equals_join_path(spark):
     assert fast == slow and (1, 2) in fast and (1, 3) in fast
     assert (2, 9) not in fast  # absent-id inner-join drop parity
     assert ((1, 5) in fast) == ((1, 5) in slow)  # no-shingle drop parity
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    """ExactSubstr spans vs a brute-force Python oracle: census of all
+    k-grams (cross-doc AND within-doc repeats), mark, merge overlapping/
+    adjacent windows. Includes whitespace normalization and short docs."""
+    import re
+    from collections import Counter
+
+    from name_matching_spark.operators.dedup import duplicate_spans
+
+    k = 10
+    docs = {
+        1: "The quick  brown fox\njumps over the lazy dog",
+        2: "something QUICK brown fox jumps different",
+        3: "abcdefghijklmnop zz abcdefghijklmnop",  # within-doc repeat
+        4: "short",  # < k after normalization: contributes nothing
+        5: "utterly unrelated content with no repeats at all xyz",
+    }
+    norm = {i: re.sub(r"\s+", " ", t.lower()) for i, t in docs.items()}
+    census = Counter(
+        n[p : p + k] for n in norm.values() for p in range(len(n) - k + 1)
+    )
+    want = set()
+    for i, n in norm.items():
+        hits = [
+            p + 1
+            for p in range(len(n) - k + 1)
+            if census[n[p : p + k]] >= 2
+        ]
+        spans = []
+        for p in hits:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        for s, e in spans:
+            want.add((i, s, e + k - 1, e + k - s))
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in duplicate_spans(df, k=k).collect()
+    }
+    assert got == want
+    assert any(d == 1 for d, *_ in got)  # cross-doc dup found
+    assert sum(d == 3 for d, *_ in got) == 2  # two within-doc islands
+    assert not any(d in (4, 5) for d, *_ in got)
