@@ -2968,6 +2968,17 @@ def q109_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, k=20)
 
 
+def q110_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal step (``dedup.remove_duplicate_spans``): each
+    doc's normalized text with every q109 duplicated span cut out,
+    compared string-exact against the oracle's rebuild (the q103
+    convention for full-text outputs)."""
+    from name_matching_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicate_spans(docs, k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3095,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_semantic_dedup": q107_semantic_dedup,
         "q108_meta_blocking": q108_meta_blocking,
         "q109_duplicate_spans": q109_duplicate_spans,
+        "q110_remove_duplicate_spans": q110_remove_duplicate_spans,
     }
 
 
@@ -5340,6 +5352,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) + 19 AS BIGINT) AS span_end,
                    CAST(max(pos) + 20 - min(pos) AS BIGINT) AS span_len
             FROM grp GROUP BY doc_id, grp
+        """,
+        "q110_remove_duplicate_spans": """
+            WITH d AS (SELECT doc_id,
+                              lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+                       FROM documents),
+            pos_ AS (SELECT doc_id, n,
+                            CAST(unnest(range(1, len(n) - 20 + 2)) AS BIGINT) AS pos
+                     FROM d WHERE len(n) >= 20),
+            g AS (SELECT doc_id, pos, substr(n, pos, 20) AS gram FROM pos_),
+            dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+            isl AS (SELECT doc_id, pos,
+                           CASE WHEN lag(pos) OVER w IS NULL
+                                  OR pos - lag(pos) OVER w > 20
+                                THEN 1 ELSE 0 END AS brk
+                    FROM hits
+                    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            grp AS (SELECT doc_id, pos,
+                           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                    FROM isl),
+            spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+                      FROM grp GROUP BY doc_id, grp),
+            pe AS (SELECT doc_id, s, e,
+                          lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+                   FROM spans),
+            segs AS (
+                SELECT doc_id, coalesce(prev_e, 0) + 1 AS ss,
+                       s - (coalesce(prev_e, 0) + 1) AS sl
+                FROM pe
+                UNION ALL
+                SELECT doc_id, max(e) + 1 AS ss, NULL AS sl
+                FROM spans GROUP BY doc_id),
+            cut AS (SELECT segs.doc_id, ss,
+                           CASE WHEN sl IS NULL THEN substr(d.n, ss)
+                                ELSE substr(d.n, ss, greatest(sl, 0)) END AS seg
+                    FROM segs JOIN d USING (doc_id)),
+            reb AS (SELECT doc_id, string_agg(seg, '' ORDER BY ss) AS text_dedup
+                    FROM cut GROUP BY doc_id),
+            stat AS (SELECT doc_id, count(*) AS n_spans,
+                            sum(e - s + 1) AS n_removed
+                     FROM spans GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(stat.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(stat.n_removed, 0) AS BIGINT) AS n_removed,
+                   coalesce(reb.text_dedup, d.n) AS text_dedup
+            FROM d
+            LEFT JOIN reb USING (doc_id)
+            LEFT JOIN stat USING (doc_id)
         """,
         "q78_em_params": _q78_oracle(),
         "q79_em_predict": _q79_oracle(),

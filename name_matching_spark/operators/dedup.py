@@ -34,6 +34,7 @@ __all__ = [
     "simhash_near_dupes",
     "winnowing_fingerprints",
     "duplicate_spans",
+    "remove_duplicate_spans",
 ]
 
 
@@ -1029,5 +1030,76 @@ def duplicate_spans(
             "span_start",
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr dedup, removal step (arXiv:2107.06499 §4: the paper
+    CUTS every duplicated span, accepting mid-sentence splices): rebuild
+    each document's NORMALIZED text with all :func:`duplicate_spans`
+    spans removed.
+
+    Output: ``(id_col, n_spans, n_removed, text_dedup)`` for EVERY doc —
+    ``n_removed`` counts removed characters; docs without spans keep their
+    normalized text verbatim.
+
+    Scale shape: spans (small — merged islands, not positions) are pinned
+    once with localCheckpoint and consumed by three keyed aggregations;
+    surviving segments are cut with lag-over-spans + one substring join
+    against the doc text and re-joined by one groupBy(doc). Per-doc work
+    only; no pair stage, no corpus-global state beyond the k-gram census
+    inside :func:`duplicate_spans`.
+    """
+    from pyspark.sql.window import Window
+
+    spans = duplicate_spans(df, k, text_col, id_col).localCheckpoint(eager=False)
+    norm_df = df.select(
+        F.col(id_col),
+        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")).alias("_norm"),
+    )
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    mids = spans.withColumn("_pe", F.lag("span_end").over(w)).select(
+        F.col(id_col),
+        (F.coalesce("_pe", F.lit(0)) + 1).alias("_ss"),
+        (F.col("span_start") - F.coalesce("_pe", F.lit(0)) - 1).alias("_sl"),
+    )
+    tails = spans.groupBy(id_col).agg(
+        (F.max("span_end") + 1).alias("_ss")
+    ).withColumn("_sl", F.lit(None).cast("long"))
+    segs = mids.unionByName(tails)
+    cut = segs.join(norm_df, id_col).select(
+        F.col(id_col),
+        "_ss",
+        F.when(F.col("_sl").isNull(), F.expr("substring(_norm, _ss)"))
+        .otherwise(F.expr("substring(_norm, _ss, greatest(_sl, 0))"))
+        .alias("_seg"),
+    )
+    reb = cut.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ss", "_seg"))),
+                lambda s: s["_seg"],
+            ),
+        ).alias("text_dedup")
+    )
+    stat = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("n_removed"),
+    )
+    return (
+        norm_df.join(reb, id_col, "left")
+        .join(stat, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("text_dedup", F.col("_norm")).alias("text_dedup"),
         )
     )

@@ -719,3 +719,56 @@ def test_duplicate_spans_matches_bruteforce(spark):
     assert any(d == 1 for d, *_ in got)  # cross-doc dup found
     assert sum(d == 3 for d, *_ in got) == 2  # two within-doc islands
     assert not any(d in (4, 5) for d, *_ in got)
+
+
+def test_remove_duplicate_spans_matches_bruteforce(spark):
+    """Span removal vs a brute-force oracle: normalized text minus every
+    merged duplicated span, docs without spans pass through verbatim."""
+    import re
+    from collections import Counter
+
+    from name_matching_spark.operators.dedup import remove_duplicate_spans
+
+    k = 10
+    docs = {
+        1: "The quick  brown fox\njumps over the lazy dog",
+        2: "something QUICK brown fox jumps different",
+        3: "abcdefghijklmnop zz abcdefghijklmnop",
+        4: "short",
+        5: "utterly unrelated content with no repeats at all xyz",
+        6: "abcdefghijklmnop",  # doc ENTIRELY inside a duplicated span? no:
+        # its 10-grams also occur in doc 3 -> fully removed text
+    }
+    norm = {i: re.sub(r"\s+", " ", t.lower()) for i, t in docs.items()}
+    census = Counter(
+        n[p : p + k] for n in norm.values() for p in range(len(n) - k + 1)
+    )
+    want = {}
+    for i, n in norm.items():
+        hits = [p for p in range(len(n) - k + 1) if census[n[p : p + k]] >= 2]
+        spans = []
+        for p in hits:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        spans = [(s, e + k - 1) for s, e in spans]  # 0-based inclusive
+        kept, prev = [], 0
+        for s, e in spans:
+            kept.append(n[prev:s])
+            prev = e + 1
+        kept.append(n[prev:])
+        want[i] = (
+            len(spans),
+            sum(e - s + 1 for s, e in spans),
+            "".join(kept),
+        )
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_removed, r.text_dedup)
+        for r in remove_duplicate_spans(df, k=k).collect()
+    }
+    assert got == want
+    assert got[6][2] == ""  # doc 6 is one big duplicated span -> empty
+    assert got[5] == (0, 0, norm[5])  # span-free doc passes through
