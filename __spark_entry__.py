@@ -2979,6 +2979,18 @@ def q110_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, k=20)
 
 
+def q111_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (``clustering.triangle_count``,
+    degree-ordered wedge generation — Suri & Vassilvitskii WWW'11) over
+    the q108 meta-blocked candidate graph: the structural audit that
+    separates duplicate cliques (triangle-rich) from chain-merge suspects
+    (triangle-poor). Same record_id < 3000 slice as q108."""
+    from name_matching_spark.operators.clustering import triangle_count
+
+    edges = q108_meta_blocking(spark, sf_dir)
+    return triangle_count(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3107,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_meta_blocking": q108_meta_blocking,
         "q109_duplicate_spans": q109_duplicate_spans,
         "q110_remove_duplicate_spans": q110_remove_duplicate_spans,
+        "q111_triangle_census": q111_triangle_census,
     }
 
 
@@ -5327,6 +5340,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN node n1 ON n1.nid = e.id1
             JOIN node n2 ON n2.nid = e.id2
             WHERE e.cbs * n1.ne >= n1.sw OR e.cbs * n2.ne >= n2.sw
+        """,
+        "q111_triangle_census": _PERSON_CTE + f""",
+            named AS (SELECT record_id,
+                             {_SORTED_FULL_SQL} AS sorted_full,
+                             upper(substr(first_name, 1, 1)) AS fc,
+                             {_sdx_sql(_ORACLE_LAST)} AS sdx,
+                             {_metaphone_sql(_ORACLE_LAST)} AS mp
+                      FROM person WHERE record_id < 3000),
+            blocks AS (
+                SELECT record_id, 'p|' || fc || '|' || sdx AS bk FROM named
+                UNION ALL
+                SELECT record_id,
+                       't|' || (CASE WHEN sorted_full = '' THEN 'UNKNOWN'
+                                     ELSE sorted_full END)
+                FROM named
+                UNION ALL
+                SELECT record_id,
+                       'm|' || fc || '|' ||
+                       (CASE WHEN mp = '' THEN '0000' ELSE mp END)
+                FROM named),
+            b AS (SELECT DISTINCT record_id, bk FROM blocks),
+            szs AS (SELECT bk, count(*) AS n FROM b GROUP BY 1),
+            bb AS (SELECT b.record_id, b.bk
+                   FROM b JOIN szs USING (bk) WHERE szs.n <= 1000),
+            e AS (SELECT x.record_id AS id1, y.record_id AS id2,
+                         count(*) AS cbs
+                  FROM bb x JOIN bb y ON x.bk = y.bk
+                                     AND x.record_id < y.record_id
+                  GROUP BY 1, 2),
+            node AS (SELECT nid, sum(cbs) AS sw, count(*) AS ne
+                     FROM (SELECT id1 AS nid, cbs FROM e
+                           UNION ALL SELECT id2, cbs FROM e)
+                     GROUP BY 1),
+            kept AS (SELECT e.id1, e.id2
+                     FROM e
+                     JOIN node n1 ON n1.nid = e.id1
+                     JOIN node n2 ON n2.nid = e.id2
+                     WHERE e.cbs * n1.ne >= n1.sw
+                        OR e.cbs * n2.ne >= n2.sw),
+            t AS (SELECT ab.id1 AS a, ab.id2 AS b, ac.id2 AS c
+                  FROM kept ab
+                  JOIN kept ac ON ac.id1 = ab.id1 AND ab.id2 < ac.id2
+                  JOIN kept bc ON bc.id1 = ab.id2 AND bc.id2 = ac.id2)
+            SELECT record_id, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT a AS record_id FROM t
+                  UNION ALL SELECT b FROM t
+                  UNION ALL SELECT c FROM t)
+            GROUP BY 1
         """,
         "q109_duplicate_spans": """
             WITH d AS (SELECT doc_id,

@@ -23,6 +23,7 @@ __all__ = [
     "select_canonical",
     "golden_record",
     "group_linkage",
+    "triangle_count",
 ]
 
 
@@ -397,4 +398,75 @@ def constrained_clusters(
             "cluster_id",
             F.coalesce("_viol", F.lit(0)).cast("int").alias("in_violation"),
         )
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected match graph — the
+    structural companion to the cohesion audit: duplicate cliques are
+    triangle-rich, chain-merged clusters (a-b, b-c matched but a-c not)
+    are triangle-poor, so low counts inside big clusters flag transitive
+    overreach.
+
+    Classic degree-ordered orientation (Suri & Vassilvitskii, WWW'11
+    "Counting Triangles and the Curse of the Last Reducer"): every edge
+    is directed from its (degree, id)-smaller endpoint, wedges are
+    generated only at each triangle's SMALLEST-degree vertex, and a wedge
+    closes iff its (b, c) leg is an oriented edge. A degree-d hub emits
+    O(d^2) wedges only if d is small by construction — the curse of the
+    hot reducer never materializes, unlike the naive two-hop join.
+
+    Output: ``(record_id, n_triangles)`` for every node with >= 1
+    triangle. Self-loops and duplicate/reversed edges are normalized away
+    first.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    oriented = (
+        e.join(deg.withColumnsRenamed({"n": "u", "d": "_du"}), "u")
+        .join(deg.withColumnsRenamed({"n": "v", "d": "_dv"}), "v")
+        .select(
+            F.when(
+                (F.col("_du") < F.col("_dv"))
+                | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("_e")
+        )
+        .select("_e.a", "_e.b")
+    )
+    wedges = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), "a")
+        .filter(F.col("x.b") < F.col("y.b"))
+        .select(F.col("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c"))
+    )
+    # each triangle yields exactly ONE wedge (at its degree-order minimum:
+    # the other two vertices have at most one out-edge inside the triangle);
+    # the wedge legs are id-ordered (b < c), so the closing edge is looked
+    # up in the id-canonical edge set, whichever way orientation points it
+    tri = wedges.join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"]
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("record_id"))
+        .groupBy("record_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )

@@ -261,3 +261,34 @@ def test_semantic_dedup_within_cluster_only(spark):
     )
     got = semantic_dedup(emb, threshold=0.9, n_centroids=2).collect()
     assert all(r.is_kept == 1 for r in got)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered triangle counting vs itertools brute force on a
+    random graph (plus dup/reversed/self-loop edges that must normalize
+    away)."""
+    from itertools import combinations
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    nodes = list(range(20))
+    edges = {tuple(sorted(e)) for e in rng.integers(0, 20, (60, 2)) if e[0] != e[1]}
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = {}
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert want, "fixture must contain triangles"
+
+    from name_matching_spark.operators.clustering import triangle_count
+
+    rows = [(int(u), int(v)) for u, v in edges]
+    rows += [(v, u) for u, v in rows[:10]] + [(3, 3)]  # noise: reversed + loop
+    df = spark.createDataFrame(rows, "id1 long, id2 long")
+    got = {r.record_id: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == want
