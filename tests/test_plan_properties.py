@@ -209,3 +209,48 @@ def test_line_dedup_plan_is_hash_keyed(spark):
     assert _node_count(plan, "CartesianProduct") == 0, plan
     assert _node_count(plan, "Window") == 0, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_meta_blocking_is_equi_join_shaped(spark):
+    """Meta-blocking's stages (block self-join, CBS agg, node census,
+    keep-rule joins) are all equi-joins/aggregates — no cartesian, no
+    broadcast-nested-loop, no window over the edge stream."""
+    from name_matching_spark.operators.blocking import meta_blocking_wnp
+
+    blocks = spark.createDataFrame(
+        [("A", "k1"), ("B", "k1"), ("A", "k2"), ("B", "k2"), ("C", "k1")],
+        "record_id string, block_key string",
+    )
+    plan = _formatted_plan(meta_blocking_wnp(blocks, max_block_size=10))
+    assert _node_count(plan, "CartesianProduct") == 0, plan
+    assert _node_count(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert _node_count(plan, "Window") == 0, plan
+
+
+def test_duplicate_spans_window_is_per_doc_islands_only(spark):
+    """ExactSubstr must stay pair-free: no joins other than the census
+    semi-join (no cartesian/BNLJ), and the only windows are the island
+    merge's lag+running-sum over the (small) duplicated-position stream."""
+    from name_matching_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij abcdefghij"), (2, "abcdefghij zz")],
+        "doc_id long, text string",
+    )
+    plan = _formatted_plan(duplicate_spans(docs, k=10))
+    assert _node_count(plan, "CartesianProduct") == 0, plan
+    assert _node_count(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert _node_count(plan, "Window") <= 2, plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Wedge generation and closure are equi-joins on node keys — never a
+    cross product."""
+    from name_matching_spark.operators.clustering import triangle_count
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id1 long, id2 long"
+    )
+    plan = _formatted_plan(triangle_count(df))
+    assert _node_count(plan, "CartesianProduct") == 0, plan
+    assert _node_count(plan, "BroadcastNestedLoopJoin") == 0, plan
