@@ -2991,6 +2991,28 @@ def q111_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q112_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (``evaluation.adjusted_rand_index``) between
+    the exact-full-name clustering (q16 rule) and the token-order-
+    insensitive clustering (sorted_full key) — quantifies how much token
+    swaps move the entity partition, chance-corrected; computed entirely
+    from the contingency census, no pair materialization."""
+    from name_matching_spark.operators.evaluation import adjusted_rand_index
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    pred = norm.select(
+        "record_id",
+        F.min("record_id").over(Window.partitionBy("full_std")).alias("cluster_id"),
+    )
+    truth = norm.select(
+        "record_id",
+        F.min("record_id").over(Window.partitionBy("sorted_full")).alias("class_id"),
+    )
+    return adjusted_rand_index(pred, truth)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3120,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_duplicate_spans": q109_duplicate_spans,
         "q110_remove_duplicate_spans": q110_remove_duplicate_spans,
         "q111_triangle_census": q111_triangle_census,
+        "q112_adjusted_rand": q112_adjusted_rand,
     }
 
 
@@ -5241,6 +5264,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q77_soft_tfidf": _q77_oracle(),
         "q105_smith_waterman": _q105_oracle(),
+        "q112_adjusted_rand": _PERSON_CTE + f""",
+            named AS (SELECT record_id,
+                trim(lower(first_name) || ' ' ||
+                     trim({_ORACLE_MIDDLE} || ' ' || {_ORACLE_LAST})) AS full_std,
+                {_SORTED_FULL_SQL} AS sorted_full
+                FROM person),
+            assg AS (SELECT record_id,
+                       min(record_id) OVER (PARTITION BY full_std) AS c1,
+                       min(record_id) OVER (PARTITION BY sorted_full) AS c2
+                     FROM named),
+            cells AS (SELECT c1, c2, count(*) AS n FROM assg GROUP BY 1, 2),
+            s AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS sum_cell_pairs,
+                         CAST(sum(n) AS BIGINT) AS n_records
+                  FROM cells),
+            r AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS row_pairs
+                  FROM (SELECT sum(n) AS m FROM cells GROUP BY c1)),
+            c AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS col_pairs
+                  FROM (SELECT sum(n) AS m FROM cells GROUP BY c2)),
+            k AS (SELECT n_records, sum_cell_pairs, row_pairs, col_pairs,
+                         CAST(n_records * (n_records - 1) // 2 AS BIGINT)
+                             AS total_pairs
+                  FROM s, r, c)
+            SELECT n_records, sum_cell_pairs, row_pairs, col_pairs, total_pairs,
+                   CASE WHEN CAST(total_pairs AS HUGEINT) * (row_pairs + col_pairs)
+                             - 2 * CAST(row_pairs AS HUGEINT) * col_pairs = 0
+                        THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(2 * CAST(total_pairs AS HUGEINT) * sum_cell_pairs
+                                  - 2 * CAST(row_pairs AS HUGEINT) * col_pairs
+                                  AS DOUBLE)
+                             / CAST(CAST(total_pairs AS HUGEINT) * (row_pairs + col_pairs)
+                                    - 2 * CAST(row_pairs AS HUGEINT) * col_pairs
+                                    AS DOUBLE)
+                   END AS ari
+            FROM k
+        """,
         "q106_golden_record": _PERSON_CTE + f""",
             named AS (SELECT record_id, first_name, city_name, province_name,
                 trim(lower(first_name) || ' ' ||

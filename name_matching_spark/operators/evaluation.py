@@ -20,6 +20,7 @@ __all__ = [
     "bcubed_metrics",
     "cohens_kappa",
     "roc_auc",
+    "adjusted_rand_index",
 ]
 
 
@@ -288,4 +289,75 @@ def roc_auc(
             "CAST((twice_rank_sum - n_pos * (n_pos + 1)) * 500000 "
             "DIV nullif(n_pos * n_neg, 0) AS BIGINT)"
         ).alias("auc_ppm"),
+    )
+
+
+def adjusted_rand_index(
+    assignment: DataFrame,
+    truth: DataFrame,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+    class_col: str = "class_id",
+) -> DataFrame:
+    """Adjusted Rand Index between a clustering and ground-truth classes
+    (Hubert & Arabie 1985) — the chance-corrected external validity metric
+    that complements :func:`bcubed_metrics` (pair-counting instead of
+    per-record averaging; 0 = chance agreement, 1 = identical).
+
+    Everything is computed from the (cluster, class) CONTINGENCY CENSUS,
+    never from record pairs: with S = Σ_cells C(n_ij,2), R = Σ_rows
+    C(n_i,2), C = Σ_cols C(n_j,2), T = C(n,2),
+
+        ARI = (2·T·S − 2·R·C) / (T·(R+C) − 2·R·C)
+
+    (the classic formula multiplied through by T so every term is an
+    exact integer; products run in decimal(38,0) so nothing overflows,
+    and the single IEEE division happens last — engine-exact). A zero
+    denominator (both clusterings trivial) returns 1.0 by convention.
+
+    Scale shape: one id-keyed join, one census groupBy, two size
+    aggregations over the (≤ N rows) census — identical to BCubed's plan.
+
+    Output: one row ``(n_records, sum_cell_pairs, row_pairs, col_pairs,
+    total_pairs, ari)``.
+    """
+    a = assignment.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c"))
+    t = truth.select(F.col(id_col).alias("_id"), F.col(class_col).alias("_t"))
+    cells = a.join(t, "_id").groupBy("_c", "_t").agg(F.count(F.lit(1)).alias("n"))
+    s = cells.agg(
+        F.expr("CAST(sum(n * (n - 1) DIV 2) AS BIGINT)").alias("sum_cell_pairs"),
+        F.sum("n").cast("long").alias("n_records"),
+    )
+    r = (
+        cells.groupBy("_c")
+        .agg(F.sum("n").alias("m"))
+        .agg(F.expr("CAST(sum(m * (m - 1) DIV 2) AS BIGINT)").alias("row_pairs"))
+    )
+    c = (
+        cells.groupBy("_t")
+        .agg(F.sum("n").alias("m"))
+        .agg(F.expr("CAST(sum(m * (m - 1) DIV 2) AS BIGINT)").alias("col_pairs"))
+    )
+    combined = s.crossJoin(r).crossJoin(c).withColumn(
+        "total_pairs",
+        F.expr("CAST(n_records * (n_records - 1) DIV 2 AS BIGINT)"),
+    )
+    dec = "decimal(38,0)"
+    num = F.expr(
+        f"2 * CAST(total_pairs AS {dec}) * sum_cell_pairs"
+        f" - 2 * CAST(row_pairs AS {dec}) * col_pairs"
+    )
+    den = F.expr(
+        f"CAST(total_pairs AS {dec}) * (row_pairs + col_pairs)"
+        f" - 2 * CAST(row_pairs AS {dec}) * col_pairs"
+    )
+    return combined.select(
+        "n_records",
+        "sum_cell_pairs",
+        "row_pairs",
+        "col_pairs",
+        "total_pairs",
+        F.when(den == 0, F.lit(1.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("ari"),
     )

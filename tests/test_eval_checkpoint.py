@@ -178,3 +178,50 @@ def test_cohens_kappa_empty_frame_yields_zero_not_error(spark):
     empty = spark.createDataFrame([], "pred string, truth string")
     row = cohens_kappa(empty, "pred", "truth").collect()[0]
     assert row["n_pairs"] == 0 and row["po_ppm"] == 0 and row["pe_ppm"] == 0
+
+
+def test_adjusted_rand_index_matches_reference_values(spark):
+    """ARI vs hand-checkable cases: identical clusterings = 1, a known
+    sklearn-documented example, and the trivial-denominator convention."""
+    from name_matching_spark.operators.evaluation import adjusted_rand_index
+
+    def ari_of(pred, true):
+        p = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(pred)], "record_id long, cluster_id long"
+        )
+        t = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(true)], "record_id long, class_id long"
+        )
+        return adjusted_rand_index(p, t).collect()[0]
+
+    # identical partitions -> 1.0
+    row = ari_of([0, 0, 1, 1, 2], [5, 5, 6, 6, 7])
+    assert row.ari == 1.0 and row.n_records == 5
+
+    # sklearn docs example: ARI([0,0,1,1],[0,0,1,2]) = 0.5714285714...
+    row = ari_of([0, 0, 1, 1], [0, 0, 1, 2])
+    assert abs(row.ari - 0.5714285714285714) < 1e-12
+    assert (row.total_pairs, row.sum_cell_pairs) == (6, 1)
+
+    # brute-force cross-check on a random pairing
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    pred = rng.integers(0, 4, 30).tolist()
+    true = rng.integers(0, 3, 30).tolist()
+    n = 30
+    a = b = c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sp, st = pred[i] == pred[j], true[i] == true[j]
+            a += sp and st
+            b += sp and not st
+            c += (not sp) and st
+            d += (not sp) and (not st)
+    expect = 2 * (a * d - b * c) / ((a + b) * (b + d) + (a + c) * (c + d))
+    row = ari_of(pred, true)
+    assert abs(row.ari - expect) < 1e-12
+
+    # all-singletons on both sides: zero denominator -> 1.0 by convention
+    row = ari_of(list(range(6)), list(range(6)))
+    assert row.ari == 1.0
