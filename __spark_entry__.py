@@ -3013,6 +3013,18 @@ def q112_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adjusted_rand_index(pred, truth)
 
 
+def q113_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy quality scores over the document corpus
+    (``text_analysis.unigram_cross_entropy``) — the CCNet/Gopher
+    perplexity-filter shape with the LM reduced to the Laplace-smoothed
+    unigram census so both engines reproduce it exactly. Emits per doc the
+    token count, cross-entropy in nats, and perplexity."""
+    from name_matching_spark.operators.text_analysis import unigram_cross_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_cross_entropy(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3143,6 +3155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_remove_duplicate_spans": q110_remove_duplicate_spans,
         "q111_triangle_census": q111_triangle_census,
         "q112_adjusted_rand": q112_adjusted_rand,
+        "q113_unigram_perplexity": q113_unigram_perplexity,
     }
 
 
@@ -5700,6 +5713,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
                    COALESCE(r.text_dedup, '') AS text_dedup
             FROM stats s LEFT JOIN reb r USING (doc_id)
+        """,
+        "q113_unigram_perplexity": """
+            WITH toks AS (
+                SELECT doc_id, t.token
+                FROM documents,
+                     LATERAL unnest(string_split_regex(lower(text), '\\s+'))
+                         AS t(token)
+                WHERE t.token <> ''),
+            dt AS (SELECT doc_id, token, count(*) AS k
+                   FROM toks GROUP BY 1, 2),
+            census AS (SELECT token, sum(k) AS n FROM dt GROUP BY 1),
+            tot AS (SELECT sum(n) AS t, count(*) AS v FROM census),
+            pd AS (SELECT doc_id,
+                          sum(k) AS nt,
+                          sum(k * ln((CAST(n AS DOUBLE) + 1.0)
+                                     / CAST(t + v AS DOUBLE))) AS slp
+                   FROM dt JOIN census USING (token), tot
+                   GROUP BY 1)
+            SELECT doc_id,
+                   CAST(nt AS BIGINT) AS n_tokens,
+                   -(slp / CAST(nt AS DOUBLE)) AS cross_entropy_nats,
+                   exp(-(slp / CAST(nt AS DOUBLE))) AS perplexity
+            FROM pd
         """,
         "q104_constrained_clusters": f"""
             WITH RECURSIVE person AS ({PERSON_SQL}),

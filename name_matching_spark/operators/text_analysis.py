@@ -30,6 +30,7 @@ __all__ = [
     "ngram_decontaminate",
     "repetition_signals",
     "bigram_novelty",
+    "unigram_cross_entropy",
     "pii_scrub",
     "PII_PATTERNS",
     "LANG_MARKERS",
@@ -536,4 +537,56 @@ def line_dedup(
             .alias("n_removed"),
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
+    )
+
+
+def unigram_cross_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-LM cross-entropy quality score (the CCNet/Gopher-style
+    perplexity filter, with the n-gram LM reduced to its unigram census so
+    it is exactly reproducible in SQL): train a Laplace-smoothed unigram
+    model on the corpus itself, then score every document by its per-token
+    negative log-likelihood.  Low cross-entropy = stereotypical/boilerplate
+    text, high = rare-token noise; quality pipelines keep the middle band.
+
+    p(tok) = (n_tok + 1) / (T + V) over the whitespace-token census
+    (lowercased, the q97 Zipf convention), ce = -(1/n) sum ln p, ppl =
+    exp(ce).  Documents with no tokens drop from the output.
+
+    Scale shape: one groupBy on (doc, token) with map-side combine, one
+    vocabulary-sized census, one join keyed on the token string (counts
+    only — postings never cross-multiply), a 1-row totals broadcast, and a
+    per-doc reaggregation.  O(tokens) end to end; the census join's skew is
+    bounded by the hottest token's document count, not its occurrence
+    count, because doc-local counts are pre-combined.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    doc_tok = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("k"))
+    census = doc_tok.groupBy("token").agg(F.sum("k").alias("n"))
+    totals = census.agg(
+        F.sum("n").alias("_t"), F.count(F.lit(1)).alias("_v")
+    )
+    logp = F.log(
+        (F.col("n").cast("double") + F.lit(1.0))
+        / (F.col("_t") + F.col("_v")).cast("double")
+    )
+    per_doc = (
+        doc_tok.join(census, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("_nt"),
+            F.sum(F.col("k") * logp).alias("_slp"),
+        )
+    )
+    ce = -(F.col("_slp") / F.col("_nt").cast("double"))
+    return per_doc.select(
+        F.col(id_col),
+        F.col("_nt").cast("long").alias("n_tokens"),
+        ce.alias("cross_entropy_nats"),
+        F.exp(ce).alias("perplexity"),
     )

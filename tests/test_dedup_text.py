@@ -772,3 +772,27 @@ def test_remove_duplicate_spans_matches_bruteforce(spark):
     assert got == want
     assert got[6][2] == ""  # doc 6 is one big duplicated span -> empty
     assert got[5] == (0, 0, norm[5])  # span-free doc passes through
+
+
+def test_unigram_cross_entropy_hand_computed(spark):
+    import math
+
+    from name_matching_spark.operators.text_analysis import unigram_cross_entropy
+
+    # corpus: a a b | a c   ->  census a:3 b:1 c:1, T=5, V=3
+    df = spark.createDataFrame(
+        [(1, "a A b"), (2, "a c"), (3, "   ")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in unigram_cross_entropy(df).collect()}
+    assert set(out) == {1, 2}  # whitespace-only doc drops
+    t, v = 5, 3
+    lp = {"a": math.log(4 / (t + v)), "b": math.log(2 / (t + v)),
+          "c": math.log(2 / (t + v))}
+    ce1 = -(2 * lp["a"] + lp["b"]) / 3
+    ce2 = -(lp["a"] + lp["c"]) / 2
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["cross_entropy_nats"] - ce1) < 1e-12
+    assert abs(out[2]["cross_entropy_nats"] - ce2) < 1e-12
+    assert abs(out[1]["perplexity"] - math.exp(ce1)) < 1e-9
+    # rarer-token doc scores strictly higher cross-entropy
+    assert out[2]["cross_entropy_nats"] > out[1]["cross_entropy_nats"]
