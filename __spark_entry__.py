@@ -3025,6 +3025,18 @@ def q113_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_cross_entropy(docs)
 
 
+def q114_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node
+    (``clustering.clustering_coefficient``) over the q108 meta-blocked
+    candidate graph: high-degree low-lcc nodes are the chain-merge bridges,
+    lcc ~= 1e6 ppm marks duplicate cliques. Same record_id < 3000 slice as
+    q108/q111."""
+    from name_matching_spark.operators.clustering import clustering_coefficient
+
+    edges = q108_meta_blocking(spark, sf_dir)
+    return clustering_coefficient(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3156,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_triangle_census": q111_triangle_census,
         "q112_adjusted_rand": q112_adjusted_rand,
         "q113_unigram_perplexity": q113_unigram_perplexity,
+        "q114_clustering_coefficient": q114_clustering_coefficient,
     }
 
 
@@ -5459,6 +5472,66 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT b FROM t
                   UNION ALL SELECT c FROM t)
             GROUP BY 1
+        """,
+        "q114_clustering_coefficient": _PERSON_CTE + f""",
+            named AS (SELECT record_id,
+                             {_SORTED_FULL_SQL} AS sorted_full,
+                             upper(substr(first_name, 1, 1)) AS fc,
+                             {_sdx_sql(_ORACLE_LAST)} AS sdx,
+                             {_metaphone_sql(_ORACLE_LAST)} AS mp
+                      FROM person WHERE record_id < 3000),
+            blocks AS (
+                SELECT record_id, 'p|' || fc || '|' || sdx AS bk FROM named
+                UNION ALL
+                SELECT record_id,
+                       't|' || (CASE WHEN sorted_full = '' THEN 'UNKNOWN'
+                                     ELSE sorted_full END)
+                FROM named
+                UNION ALL
+                SELECT record_id,
+                       'm|' || fc || '|' ||
+                       (CASE WHEN mp = '' THEN '0000' ELSE mp END)
+                FROM named),
+            b AS (SELECT DISTINCT record_id, bk FROM blocks),
+            szs AS (SELECT bk, count(*) AS n FROM b GROUP BY 1),
+            bb AS (SELECT b.record_id, b.bk
+                   FROM b JOIN szs USING (bk) WHERE szs.n <= 1000),
+            e AS (SELECT x.record_id AS id1, y.record_id AS id2,
+                         count(*) AS cbs
+                  FROM bb x JOIN bb y ON x.bk = y.bk
+                                     AND x.record_id < y.record_id
+                  GROUP BY 1, 2),
+            node AS (SELECT nid, sum(cbs) AS sw, count(*) AS ne
+                     FROM (SELECT id1 AS nid, cbs FROM e
+                           UNION ALL SELECT id2, cbs FROM e)
+                     GROUP BY 1),
+            kept AS (SELECT e.id1, e.id2
+                     FROM e
+                     JOIN node n1 ON n1.nid = e.id1
+                     JOIN node n2 ON n2.nid = e.id2
+                     WHERE e.cbs * n1.ne >= n1.sw
+                        OR e.cbs * n2.ne >= n2.sw),
+            deg AS (SELECT record_id, count(*) AS d
+                    FROM (SELECT id1 AS record_id FROM kept
+                          UNION ALL SELECT id2 FROM kept)
+                    GROUP BY 1),
+            t AS (SELECT ab.id1 AS a, ab.id2 AS b, ac.id2 AS c
+                  FROM kept ab
+                  JOIN kept ac ON ac.id1 = ab.id1 AND ab.id2 < ac.id2
+                  JOIN kept bc ON bc.id1 = ab.id2 AND bc.id2 = ac.id2),
+            tc AS (SELECT record_id, count(*) AS nt
+                   FROM (SELECT a AS record_id FROM t
+                         UNION ALL SELECT b FROM t
+                         UNION ALL SELECT c FROM t)
+                   GROUP BY 1)
+            SELECT deg.record_id,
+                   CAST(deg.d AS BIGINT) AS degree,
+                   CAST(coalesce(tc.nt, 0) AS BIGINT) AS n_triangles,
+                   CAST(CASE WHEN deg.d < 2 THEN 0
+                             ELSE 2 * coalesce(tc.nt, 0) * 1000000
+                                  // (deg.d * (deg.d - 1)) END AS BIGINT)
+                       AS lcc_ppm
+            FROM deg LEFT JOIN tc USING (record_id)
         """,
         "q109_duplicate_spans": """
             WITH d AS (SELECT doc_id,

@@ -24,6 +24,7 @@ __all__ = [
     "golden_record",
     "group_linkage",
     "triangle_count",
+    "clustering_coefficient",
 ]
 
 
@@ -469,4 +470,54 @@ def triangle_count(
         tri.select(F.explode(F.array("a", "b", "c")).alias("record_id"))
         .groupBy("record_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Local clustering coefficient per node of an undirected match graph:
+    lcc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)), as an exact
+    integer ppm (the engine-portable fraction idiom). The per-node
+    refinement of the triangle census: inside an entity cluster, nodes
+    with high degree but near-zero lcc are the transitive-merge bridges a
+    reviewer should cut first, while lcc ~= 1 marks genuine duplicate
+    cliques.
+
+    Triangles come from the degree-ordered census (``triangle_count``);
+    degrees from one map-side-combined aggregation of the normalized edge
+    set. Every node of the graph gets a row (zero triangles included);
+    degree-1 nodes emit lcc_ppm = 0. Scale shape: the triangle join is
+    the only super-linear stage and inherits the orientation bound; the
+    rest is O(edges).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("record_id"))
+        .unionAll(e.select(F.col("v").alias("record_id")))
+        .groupBy("record_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(e, "u", "v")
+    return (
+        deg.join(tri, "record_id", "left")
+        .select(
+            "record_id",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN degree < 2 THEN 0 ELSE "
+                "2 * coalesce(n_triangles, 0) * 1000000 "
+                "DIV (degree * (degree - 1)) END AS BIGINT)"
+            ).alias("lcc_ppm"),
+        )
     )

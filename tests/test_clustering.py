@@ -292,3 +292,19 @@ def test_triangle_count_matches_bruteforce(spark):
     df = spark.createDataFrame(rows, "id1 long, id2 long")
     got = {r.record_id: r.n_triangles for r in triangle_count(df).collect()}
     assert got == want
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    from name_matching_spark.operators.clustering import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 3-4: lcc(1)=lcc(2)=1, lcc(3)=1/3, lcc(4)=0
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (1, 3), (4, 3), (2, 1)],  # dup/reversed normalized
+        ["id1", "id2"],
+    )
+    out = {r["record_id"]: r for r in clustering_coefficient(edges).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["degree"], out[1]["n_triangles"], out[1]["lcc_ppm"]) == (2, 1, 1_000_000)
+    assert (out[2]["degree"], out[2]["n_triangles"], out[2]["lcc_ppm"]) == (2, 1, 1_000_000)
+    assert (out[3]["degree"], out[3]["n_triangles"], out[3]["lcc_ppm"]) == (3, 1, 333_333)
+    assert (out[4]["degree"], out[4]["n_triangles"], out[4]["lcc_ppm"]) == (1, 0, 0)
