@@ -3037,6 +3037,23 @@ def q114_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(edges)
 
 
+def q115_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch (``sketches.kmv_distinct``)
+    over the per-source 8-char shingle vocabulary — the deterministic,
+    SQL-reproducible stand-in for approx_count_distinct: every group's
+    estimate derives from its 64 smallest 56-bit md5 hashes, merged
+    without ever shuffling the value stream. Audit columns carry the
+    exact count and signed error ppm."""
+    from name_matching_spark.operators.dedup import _shingle_array
+    from name_matching_spark.operators.sketches import kmv_distinct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "source", F.explode(_shingle_array("text", 8)).alias("shingle")
+    )
+    return kmv_distinct(sh, "source", "shingle", k=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3169,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_adjusted_rand": q112_adjusted_rand,
         "q113_unigram_perplexity": q113_unigram_perplexity,
         "q114_clustering_coefficient": q114_clustering_coefficient,
+        "q115_kmv_distinct": q115_kmv_distinct,
     }
 
 
@@ -5786,6 +5804,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
                    COALESCE(r.text_dedup, '') AS text_dedup
             FROM stats s LEFT JOIN reb r USING (doc_id)
+        """,
+        "q115_kmv_distinct": """
+            WITH d AS (SELECT source,
+                              lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+                       FROM documents),
+            sh AS (SELECT source,
+                          substr(n, unnest(range(1, greatest(length(n) - 7, 1) + 1)), 8) AS v
+                   FROM d),
+            h AS (SELECT DISTINCT source,
+                         ('0x' || substr(md5(v), 1, 14))::BIGINT AS hh
+                  FROM sh),
+            r AS (SELECT source, hh,
+                         row_number() OVER (PARTITION BY source ORDER BY hh) AS rn
+                  FROM h),
+            st AS (SELECT source, count(*) AS nh FROM h GROUP BY 1),
+            kth AS (SELECT source, hh FROM r WHERE rn = 64),
+            ex AS (SELECT source, count(DISTINCT v) AS nde FROM sh GROUP BY 1),
+            est AS (SELECT st.source,
+                           CAST(least(st.nh, 64) AS BIGINT) AS n_sketch,
+                           kth.hh AS kth_min_hash,
+                           CAST(CASE WHEN st.nh < 64 THEN st.nh
+                                     ELSE 63 * CAST(72057594037927936 AS BIGINT)
+                                          // greatest(kth.hh, 1)
+                                END AS BIGINT) AS est_distinct
+                    FROM st LEFT JOIN kth USING (source))
+            SELECT est.source, est.n_sketch, est.kth_min_hash, est.est_distinct,
+                   CAST(ex.nde AS BIGINT) AS n_distinct_exact,
+                   CAST((est.est_distinct - ex.nde) * 1000000
+                        // greatest(ex.nde, 1) AS BIGINT) AS err_ppm
+            FROM est JOIN ex USING (source)
         """,
         "q113_unigram_perplexity": """
             WITH toks AS (

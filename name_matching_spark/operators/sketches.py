@@ -1,0 +1,105 @@
+"""Distinct-count sketches — engine-portable, deterministic, no UDFs.
+
+KMV (k-minimum-values, a.k.a. bottom-k) cardinality estimation: hash every
+value to a uniform 56-bit integer (first 14 hex chars of md5 — portable
+across Spark and DuckDB), keep the k smallest distinct hashes per group, and
+estimate the distinct count from the k-th minimum: D ~= (k-1) * 2^56 / h_k
+(Bar-Yossef et al., RANDOM'02; the same bottom-k family HyperLogLog refines).
+Unlike Spark's approx_count_distinct (HLL++, whose registers are not
+reproducible in SQL), every intermediate here is an exact integer, so the
+DuckDB oracle reproduces the estimate bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_distinct", "KMV_HASH_HEX", "KMV_HASH_SPACE"]
+
+KMV_HASH_HEX = 14  # 56-bit hashes: (k-1) * 2^56 stays inside BIGINT for k <= 127
+KMV_HASH_SPACE = 1 << (4 * KMV_HASH_HEX)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    include_exact: bool = True,
+) -> DataFrame:
+    """Per-group distinct-count estimate via a k-minimum-values sketch.
+
+    Two-phase bottom-k — the distributed shape that never shuffles the
+    value stream: (1) per (group, input-partition), collect the partition's
+    distinct hashes and keep the k smallest (collect_set dedups locally;
+    memory per task is bounded by the partition's group share, the emitted
+    state by k); (2) per group, merge the partition sketches — flatten,
+    array_distinct, sort, slice — each merge input is <= k values per
+    partition, so the wide stage moves O(k x partitions) integers per
+    group, never the values themselves. No global dropDuplicates shuffle
+    anywhere on the sketch path.
+
+    Estimate: if the merged sketch holds fewer than k hashes the group's
+    support was seen in full (estimate = sketch size, exact modulo md5
+    collisions); otherwise D = (k-1) * 2^56 DIV h_k, an exact integer
+    division both engines compute identically.
+
+    ``include_exact`` (default True, for audit/demo) adds the true distinct
+    count and the estimate's signed error in ppm — a full count(DISTINCT)
+    pass a production run at scale would skip.
+
+    Output: (group, n_sketch, kth_min_hash, est_distinct [, n_distinct_exact,
+    err_ppm]).
+    """
+    if not 2 <= k <= 127:
+        raise ValueError("k must be in [2, 127] (56-bit estimator bound)")
+    hashed = df.select(
+        F.col(group_col),
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, KMV_HASH_HEX),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("_h"),
+    )
+    part = hashed.groupBy(group_col, F.spark_partition_id().alias("_p")).agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_bk")
+    )
+    merged = part.groupBy(group_col).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_bk")))),
+            1,
+            k,
+        ).alias("_bk")
+    )
+    n_sketch = F.size("_bk")
+    kth = F.element_at("_bk", k)
+    out = merged.select(
+        F.col(group_col),
+        n_sketch.cast("long").alias("n_sketch"),
+        F.when(n_sketch >= k, kth).alias("kth_min_hash"),
+        F.when(n_sketch < k, n_sketch.cast("long"))
+        .otherwise(
+            F.expr(
+                f"CAST(({k} - 1) * CAST({KMV_HASH_SPACE} AS BIGINT) "
+                f"DIV greatest(element_at(_bk, {k}), 1) AS BIGINT)"
+            )
+        )
+        .alias("est_distinct"),
+    )
+    if not include_exact:
+        return out
+    exact = (
+        df.select(group_col, value_col)
+        .groupBy(group_col)
+        .agg(F.count_distinct(F.col(value_col)).alias("n_distinct_exact"))
+    )
+    return out.join(exact, group_col).withColumn(
+        "err_ppm",
+        F.expr(
+            "CAST((est_distinct - n_distinct_exact) * 1000000 "
+            "DIV greatest(n_distinct_exact, 1) AS BIGINT)"
+        ),
+    )

@@ -1,0 +1,67 @@
+"""KMV bottom-k distinct sketch: exact-path, estimator, partition invariance."""
+
+import hashlib
+
+import pytest
+
+from name_matching_spark.operators.sketches import (
+    KMV_HASH_HEX,
+    KMV_HASH_SPACE,
+    kmv_distinct,
+)
+
+
+def _h(v: str) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:KMV_HASH_HEX], 16)
+
+
+def _expected(values, k):
+    hs = sorted({_h(v) for v in values})
+    if len(hs) < k:
+        return len(hs), None, len(hs)
+    kth = hs[k - 1]
+    return k, kth, (k - 1) * KMV_HASH_SPACE // max(kth, 1)
+
+
+def test_kmv_small_group_is_exact(spark):
+    rows = [("g", f"v{i}") for i in range(10)] * 3  # dups collapse
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = kmv_distinct(df, "g", "v", k=64).collect()[0]
+    assert out["n_sketch"] == 10
+    assert out["kth_min_hash"] is None
+    assert out["est_distinct"] == 10
+    assert out["n_distinct_exact"] == 10
+    assert out["err_ppm"] == 0
+
+
+def test_kmv_estimator_matches_reference(spark):
+    values = [f"item-{i:05d}" for i in range(1000)]
+    df = spark.createDataFrame([("g", v) for v in values], ["g", "v"])
+    k = 16
+    n_sketch, kth, est = _expected(values, k)
+    out = kmv_distinct(df, "g", "v", k=k).collect()[0]
+    assert out["n_sketch"] == n_sketch
+    assert out["kth_min_hash"] == kth
+    assert out["est_distinct"] == est
+    assert out["n_distinct_exact"] == 1000
+    # a 16-min sketch over 1000 uniform values lands within ~60%
+    assert 400 <= out["est_distinct"] <= 2500
+    assert out["err_ppm"] == (est - 1000) * 1_000_000 // 1000 or out["err_ppm"] == int(
+        (est - 1000) * 1_000_000 / 1000
+    )
+
+
+def test_kmv_partition_invariant(spark):
+    values = [f"x{i}" for i in range(500)]
+    rows = [(f"g{i % 3}", v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    a = sorted(map(tuple, kmv_distinct(df, "g", "v", k=32).collect()))
+    b = sorted(map(tuple, kmv_distinct(df.repartition(13), "g", "v", k=32).collect()))
+    assert a == b
+
+
+def test_kmv_k_bounds():
+    with pytest.raises(ValueError):
+        kmv_distinct(None, "g", "v", k=1)
+    with pytest.raises(ValueError):
+        kmv_distinct(None, "g", "v", k=128)
