@@ -3054,6 +3054,18 @@ def q115_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(sh, "source", "shingle", k=64)
 
 
+def q116_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing weights
+    (``text_analysis.mixing_weights``, alpha = 0.5) over (lang, source):
+    per-domain doc/token censuses, natural share ppm, normalized sampling
+    weight, and the upsampling boost — the pretraining data-mixing
+    report."""
+    from name_matching_spark.operators.text_analysis import mixing_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixing_weights(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3187,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_unigram_perplexity": q113_unigram_perplexity,
         "q114_clustering_coefficient": q114_clustering_coefficient,
         "q115_kmv_distinct": q115_kmv_distinct,
+        "q116_mixing_weights": q116_mixing_weights,
     }
 
 
@@ -5804,6 +5817,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
                    COALESCE(r.text_dedup, '') AS text_dedup
             FROM stats s LEFT JOIN reb r USING (doc_id)
+        """,
+        "q116_mixing_weights": """
+            WITH dom AS (SELECT lang, source, count(*) AS n_docs,
+                                sum(CASE WHEN trim(text) = '' THEN 0
+                                         ELSE len(string_split_regex(trim(text), '\\s+'))
+                                    END) AS n_tokens
+                         FROM documents GROUP BY 1, 2),
+            tot AS (SELECT sum(n_tokens) AS t,
+                           sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS s
+                    FROM dom)
+            SELECT lang, source,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_tokens * 1000000 // t AS BIGINT) AS natural_ppm,
+                   pow(CAST(n_tokens AS DOUBLE), 0.5) / s AS sample_weight,
+                   pow(CAST(n_tokens AS DOUBLE), 0.5) / s
+                       * CAST(t AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS boost
+            FROM dom, tot
         """,
         "q115_kmv_distinct": """
             WITH d AS (SELECT source,

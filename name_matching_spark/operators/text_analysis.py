@@ -31,6 +31,7 @@ __all__ = [
     "repetition_signals",
     "bigram_novelty",
     "unigram_cross_entropy",
+    "mixing_weights",
     "pii_scrub",
     "PII_PATTERNS",
     "LANG_MARKERS",
@@ -589,4 +590,46 @@ def unigram_cross_entropy(
         F.col("_nt").cast("long").alias("n_tokens"),
         ce.alias("cross_entropy_nats"),
         F.exp(ce).alias("perplexity"),
+    )
+
+
+def mixing_weights(
+    df: DataFrame,
+    domain_cols: tuple = ("lang", "source"),
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights — the data-mixing step of
+    a pretraining pipeline (multilingual/multi-source rebalancing a la
+    exponential smoothing: w_d ∝ n_d^alpha, alpha < 1 upsamples the tail,
+    alpha = 1 is natural sampling).  Per domain: document and token counts,
+    the natural token share (exact ppm), the normalized sampling weight,
+    and the boost factor (weight / natural share — >1 means the domain is
+    upsampled).
+
+    Scale shape: one map-side-combined aggregation to domain granularity
+    (the census is domains-sized, tiny), a 1-row totals broadcast, and a
+    final narrow projection.  The only float reductions are over the domain
+    census, so cross-engine summation-order drift is bounded by the domain
+    count, not the corpus size.
+    """
+    toks = token_count(F.col(text_col))
+    dom = df.groupBy(*[F.col(c) for c in domain_cols]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    scaled = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    tot = dom.agg(
+        F.sum("n_tokens").alias("_t"), F.sum(scaled).alias("_s")
+    )
+    weight = scaled / F.col("_s")
+    return dom.crossJoin(F.broadcast(tot)).select(
+        *[F.col(c) for c in domain_cols],
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("CAST(n_tokens * 1000000 DIV _t AS BIGINT)").alias("natural_ppm"),
+        weight.alias("sample_weight"),
+        (weight * F.col("_t").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "boost"
+        ),
     )

@@ -796,3 +796,27 @@ def test_unigram_cross_entropy_hand_computed(spark):
     assert abs(out[1]["perplexity"] - math.exp(ce1)) < 1e-9
     # rarer-token doc scores strictly higher cross-entropy
     assert out[2]["cross_entropy_nats"] > out[1]["cross_entropy_nats"]
+
+
+def test_mixing_weights_hand_computed(spark):
+    from name_matching_spark.operators.text_analysis import mixing_weights
+
+    # domain A: 9 tokens, domain B: 1 token -> alpha=0.5 weights 3/4, 1/4
+    df = spark.createDataFrame(
+        [
+            ("en", "a", "t1 t2 t3 t4 t5"),
+            ("en", "a", "t6 t7 t8 t9"),
+            ("en", "b", "solo"),
+        ],
+        ["lang", "source", "text"],
+    )
+    out = {(r["lang"], r["source"]): r for r in mixing_weights(df).collect()}
+    a, b = out[("en", "a")], out[("en", "b")]
+    assert (a["n_docs"], a["n_tokens"]) == (2, 9)
+    assert (b["n_docs"], b["n_tokens"]) == (1, 1)
+    assert a["natural_ppm"] == 900_000 and b["natural_ppm"] == 100_000
+    assert abs(a["sample_weight"] - 0.75) < 1e-12
+    assert abs(b["sample_weight"] - 0.25) < 1e-12
+    # tail domain upsampled 2.5x, head downsampled
+    assert abs(b["boost"] - 2.5) < 1e-12
+    assert abs(a["boost"] - 0.75 / 0.9) < 1e-12
