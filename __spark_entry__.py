@@ -3066,6 +3066,18 @@ def q116_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixing_weights(docs)
 
 
+def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-5-iteration PageRank (``clustering.pagerank``) over the q108
+    meta-blocked candidate graph: canonical-record candidates rank
+    highest inside their clusters; bridge nodes that concentrate rank
+    mass flag star-shaped transitive merges. Same record_id < 3000 slice
+    as q108/q111/q114; the oracle unrolls the identical five rounds."""
+    from name_matching_spark.operators.clustering import pagerank
+
+    edges = q108_meta_blocking(spark, sf_dir)
+    return pagerank(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3200,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_clustering_coefficient": q114_clustering_coefficient,
         "q115_kmv_distinct": q115_kmv_distinct,
         "q116_mixing_weights": q116_mixing_weights,
+        "q117_pagerank": q117_pagerank,
     }
 
 
@@ -4123,7 +4136,76 @@ def oracle_sql() -> dict[str, str]:
                   JOIN sizes z2 ON z2.doc_id = c.id2)
     """
 
+    # q117: the q108 meta-blocked graph (chain through `kept`), then FIVE
+    # unrolled PageRank rounds — a fixed iteration count is what makes the
+    # operator SQL-expressible; literals mirror the Spark floats exactly
+    # (1 - 0.85 = 0.15000000000000002 in binary64).
+    _meta_kept_ctes = _PERSON_CTE + f""",
+            named AS MATERIALIZED (SELECT record_id,
+                             {_SORTED_FULL_SQL} AS sorted_full,
+                             upper(substr(first_name, 1, 1)) AS fc,
+                             {_sdx_sql(_ORACLE_LAST)} AS sdx,
+                             {_metaphone_sql(_ORACLE_LAST)} AS mp
+                      FROM person WHERE record_id < 3000),
+            blocks AS MATERIALIZED (
+                SELECT record_id, 'p|' || fc || '|' || sdx AS bk FROM named
+                UNION ALL
+                SELECT record_id,
+                       't|' || (CASE WHEN sorted_full = '' THEN 'UNKNOWN'
+                                     ELSE sorted_full END)
+                FROM named
+                UNION ALL
+                SELECT record_id,
+                       'm|' || fc || '|' ||
+                       (CASE WHEN mp = '' THEN '0000' ELSE mp END)
+                FROM named),
+            b AS MATERIALIZED (SELECT DISTINCT record_id, bk FROM blocks),
+            szs AS MATERIALIZED (SELECT bk, count(*) AS n FROM b GROUP BY 1),
+            bb AS MATERIALIZED (SELECT b.record_id, b.bk
+                   FROM b JOIN szs USING (bk) WHERE szs.n <= 1000),
+            e AS MATERIALIZED (SELECT x.record_id AS id1, y.record_id AS id2,
+                         count(*) AS cbs
+                  FROM bb x JOIN bb y ON x.bk = y.bk
+                                     AND x.record_id < y.record_id
+                  GROUP BY 1, 2),
+            node AS MATERIALIZED (SELECT nid, sum(cbs) AS sw, count(*) AS ne
+                     FROM (SELECT id1 AS nid, cbs FROM e
+                           UNION ALL SELECT id2, cbs FROM e)
+                     GROUP BY 1),
+            kept AS MATERIALIZED (SELECT e.id1, e.id2
+                     FROM e
+                     JOIN node n1 ON n1.nid = e.id1
+                     JOIN node n2 ON n2.nid = e.id2
+                     WHERE e.cbs * n1.ne >= n1.sw
+                        OR e.cbs * n2.ne >= n2.sw)"""
+    _pr_rounds = []
+    for _i in range(1, 6):
+        _pr_rounds.append(f""",
+            p{_i} AS MATERIALIZED (SELECT und.t AS u,
+                            CAST(0.15000000000000002 AS DOUBLE) / (SELECT n FROM nn)
+                            + CAST(0.85 AS DOUBLE) * sum(p{_i - 1}.r / deg.d) AS r
+                     FROM und
+                     JOIN p{_i - 1} ON p{_i - 1}.u = und.s
+                     JOIN deg ON deg.s = und.s
+                     GROUP BY und.t)""")
+    _pagerank_sql = (
+        _meta_kept_ctes
+        + """,
+            und AS MATERIALIZED (SELECT id1 AS s, id2 AS t FROM kept
+                    UNION ALL SELECT id2, id1 FROM kept),
+            deg AS MATERIALIZED (SELECT s, count(*) AS d FROM und GROUP BY 1),
+            nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+            p0 AS MATERIALIZED (SELECT s AS u, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r
+                   FROM deg)"""
+        + "".join(_pr_rounds)
+        + """
+            SELECT p5.u AS record_id, p5.r AS pagerank,
+                   CAST(deg.d AS BIGINT) AS degree
+            FROM p5 JOIN deg ON deg.s = p5.u"""
+    )
+
     return {
+        "q117_pagerank": _pagerank_sql,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -25,6 +25,7 @@ __all__ = [
     "group_linkage",
     "triangle_count",
     "clustering_coefficient",
+    "pagerank",
 ]
 
 
@@ -520,4 +521,73 @@ def clustering_coefficient(
                 "DIV (degree * (degree - 1)) END AS BIGINT)"
             ).alias("lcc_ppm"),
         )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected match graph — the
+    centrality audit for entity clusters: inside a cluster, the top-ranked
+    node is the natural canonical-record candidate, and rank mass
+    concentrating on one bridge node flags a star-shaped transitive merge.
+
+    A FIXED iteration count (default 5) rather than a convergence test
+    keeps the computation deterministic and lets the SQL oracle unroll the
+    same rounds; pr_{t+1}(v) = (1-d)/N + d * sum_{u~v} pr_t(u)/deg(u).
+    Every node of the edge set has degree >= 1, so there is no dangling
+    mass.
+
+    Scale shape: per round one join keyed on the node id and one map-side-
+    combined aggregation — O(edges) per round, no pair blowup. The keyed
+    adjacency (with source degree attached) is localCheckpoint'd once so
+    the unrolled plan does not rescan/recompute it per round (the
+    established small-keyed-frame pattern; ranks stay a nodes-sized
+    frame).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    # every frame below is re-entered by several plan arms (each round, the
+    # final degree join, the totals broadcast) — checkpoint the SMALL keyed
+    # frames once so the upstream edge plan (often a blocking self-join with
+    # UDF normalization) is computed exactly once, not once per arm
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+        eager=False
+    )
+    adj = und.join(deg, "s").localCheckpoint(eager=False)
+    n_df = deg.agg(F.count(F.lit(1)).alias("_n")).localCheckpoint(eager=False)
+    ranks = deg.crossJoin(F.broadcast(n_df)).select(
+        F.col("s").alias("node"),
+        (F.lit(1.0) / F.col("_n")).alias("r"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            adj.join(ranks, adj["s"] == ranks["node"])
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("_sum"))
+        )
+        ranks = contrib.crossJoin(F.broadcast(n_df)).select(
+            "node",
+            (
+                F.lit(1.0 - damping) / F.col("_n")
+                + F.lit(damping) * F.col("_sum")
+            ).alias("r"),
+        )
+    return ranks.join(deg, ranks["node"] == deg["s"]).select(
+        F.col("node").alias("record_id"),
+        F.col("r").alias("pagerank"),
+        F.col("d").cast("long").alias("degree"),
     )

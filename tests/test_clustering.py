@@ -308,3 +308,32 @@ def test_clustering_coefficient_hand_computed(spark):
     assert (out[2]["degree"], out[2]["n_triangles"], out[2]["lcc_ppm"]) == (2, 1, 1_000_000)
     assert (out[3]["degree"], out[3]["n_triangles"], out[3]["lcc_ppm"]) == (3, 1, 333_333)
     assert (out[4]["degree"], out[4]["n_triangles"], out[4]["lcc_ppm"]) == (1, 0, 0)
+
+
+def test_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    from name_matching_spark.operators.clustering import pagerank
+
+    # small graph: triangle + tail
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, ["id1", "id2"])
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    adj = np.zeros((n, n))
+    for u, v in edges:
+        adj[idx[u]][idx[v]] = adj[idx[v]][idx[u]] = 1
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        r = (1.0 - 0.85) / n + 0.85 * (adj @ (r / deg))
+    out = {row["record_id"]: row for row in pagerank(df).collect()}
+    assert set(out) == set(nodes)
+    for node in nodes:
+        assert abs(out[node]["pagerank"] - r[idx[node]]) < 1e-12
+        assert out[node]["degree"] == int(deg[idx[node]])
+    # rank mass sums to ~1 and the triangle hub (3) outranks the tail tip
+    assert abs(sum(v["pagerank"] for v in out.values()) - 1.0) < 1e-9
+    assert out[3]["pagerank"] > out[5]["pagerank"]
