@@ -3078,6 +3078,41 @@ def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges)
 
 
+def q118_symspell2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell delete-2 edit-distance join
+    (``blocking.symspell_delete_pairs``, radius 2) over the person-name
+    word vocabulary: every pair of distinct lowercase name tokens at full
+    Damerau-Levenshtein distance <= 2. One equi-join on the <=2-delete
+    variant string; the exact DL kernel rejects false candidates. The
+    oracle is the exact O(V^2) all-pairs recursive-CTE DL kept at
+    dist <= 2, so hash equality proves recall = 1 at radius 2 (the q82
+    proof, one edit further out)."""
+    from name_matching_spark.functions.udfs import dl_distance_udf
+    from name_matching_spark.operators.blocking import symspell_delete_pairs
+
+    person = _person_df(spark, sf_dir)
+    words = (
+        person.select(
+            F.explode(
+                F.split(
+                    F.lower(
+                        F.concat_ws(" ", "first_name", "middle_name_last_name")
+                    ),
+                    " ",
+                )
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    pairs = symspell_delete_pairs(words, "word", max_edits=2)
+    return (
+        pairs.withColumn("dl_dist", dl_distance_udf(F.col("w1"), F.col("w2")))
+        .filter(F.col("dl_dist") <= 2)
+        .select("w1", "w2", "dl_dist")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3213,6 +3248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_kmv_distinct": q115_kmv_distinct,
         "q116_mixing_weights": q116_mixing_weights,
         "q117_pagerank": q117_pagerank,
+        "q118_symspell2_pairs": q118_symspell2_pairs,
     }
 
 
@@ -3485,6 +3521,13 @@ SELECT s1 AS w1, s2 AS w2, CAST(dist AS BIGINT) AS dl_dist
 FROM dl
 WHERE dist <= 1
 """
+
+
+def _q118_oracle() -> str:
+    """q82's exact all-pairs DL oracle at radius 2: proves the delete-2
+    neighborhood join (``symspell_delete_pairs``) has recall = 1 for full
+    Damerau-Levenshtein distance <= 2."""
+    return _q82_oracle().replace("WHERE dist <= 1", "WHERE dist <= 2")
 
 
 def _q32_oracle() -> str:
@@ -5751,6 +5794,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE m.n_members >= 2
         """,
         "q82_symspell_pairs": _q82_oracle(),
+        "q118_symspell2_pairs": _q118_oracle(),
         "q83_group_linkage": _q83_oracle(),
         "q84_roc_auc": _q84_oracle(),
         "q85_spell_correct": _q85_oracle(),

@@ -35,6 +35,7 @@ __all__ = [
     "global_sort_rank",
     "sorted_neighborhood_pairs",
     "symspell_delete1_pairs",
+    "symspell_delete_pairs",
     "meta_blocking_wnp",
 ]
 
@@ -483,4 +484,60 @@ def meta_blocking_wnp(
             | (F.col("cbs") * F.col("_ne2") >= F.col("_sw2"))
         )
         .select("id1", "id2", F.col("cbs").cast("long").alias("cbs"))
+    )
+
+
+def symspell_delete_pairs(
+    df: DataFrame, word_col: str = "word", max_edits: int = 2
+) -> DataFrame:
+    """Generalized SymSpell delete-neighborhood join: every pair of
+    distinct words whose <=``max_edits``-character-delete neighborhoods
+    intersect — a complete candidate set for full Damerau-Levenshtein
+    distance <= ``max_edits`` (Garbe's scheme at arbitrary edit radius;
+    the delete-1 special case is :func:`symspell_delete1_pairs`, and
+    completeness at radius 2 is proved corpus-wide by q118's exact
+    all-pairs DL oracle).
+
+    Each edit (insert/delete/substitute/transpose) between w1 and w2 can
+    be absorbed by deleting at most one character from each side, so words
+    at DL <= t share a variant reachable by <= t deletions from both.
+    Variant count is O(L^t / t!) per word (~29 for t = 2, L = 7); the join
+    stays ONE shuffle on the variant string. Very short variants (e.g. the
+    empty string, shared by all words of length <= t) form the hottest
+    buckets, but their size is bounded by the count of near-degenerate
+    words, not the vocabulary.
+
+    Input must be distinct non-null words; output ``w1 < w2``, distinct,
+    UNVERIFIED (callers score with the exact DL kernel and filter).
+    """
+    if max_edits not in (1, 2):
+        raise ValueError("max_edits must be 1 or 2")
+    del_expr = (
+        f"transform(sequence(1, length({word_col})), i -> "
+        f"concat(substring({word_col}, 1, i - 1), substring({word_col}, i + 1)))"
+    )
+    if max_edits == 1:
+        variants_expr = (
+            f"array_distinct(concat(array({word_col}), {del_expr}))"
+        )
+    else:
+        # deletes of deletes: one nested higher-order pass, flattened
+        d2 = (
+            f"flatten(transform({del_expr}, w1 -> "
+            f"transform(sequence(1, length(w1)), j -> "
+            f"concat(substring(w1, 1, j - 1), substring(w1, j + 1)))))"
+        )
+        variants_expr = (
+            f"array_distinct(concat(array({word_col}), {del_expr}, {d2}))"
+        )
+    variants = df.select(
+        F.col(word_col).alias("word"),
+        F.explode(F.expr(variants_expr)).alias("variant"),
+    )
+    return (
+        variants.alias("a")
+        .join(variants.alias("b"), "variant")
+        .filter(F.col("a.word") < F.col("b.word"))
+        .select(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+        .distinct()
     )

@@ -481,6 +481,58 @@ def test_symspell_no_self_pairs_and_ordering(spark):
     assert all(r.w1 < r.w2 for r in rows)
 
 
+def test_symspell_delete2_matches_brute_force_dl2(spark):
+    """Delete-2 neighborhood join == exhaustive all-pairs DL<=2 scan
+    (recall = 1), including double transpositions, transposition+edit
+    combos, the "ca"/"abc" full-DL pin, and empty-variant short words."""
+    from name_matching_spark.functions.kernels import batch_dl_distance
+    from name_matching_spark.operators.blocking import symspell_delete_pairs
+
+    vocab = [
+        "maria", "miara",      # transposition
+        "airam", "mraai",      # scrambles (some within 2, some not)
+        "marla", "marlas",     # sub + insert
+        "ca", "abc",           # full-DL pin: dist("ca","abc") = 2
+        "a", "b", "ab", "ba",  # short words sharing the empty variant
+        "juan", "nauj",        # reversal (far)
+        "cruz", "zurc",
+        "santos", "santso", "satnso",  # 1 and 2 transpositions
+        "anders",
+    ]
+    df = spark.createDataFrame([(w,) for w in vocab], "word string")
+    got = {
+        (r.w1, r.w2)
+        for r in symspell_delete_pairs(df, max_edits=2).collect()
+        if batch_dl_distance([r.w1], [r.w2])[0] <= 2
+    }
+    want = set()
+    for i, w1 in enumerate(vocab):
+        for w2 in vocab[i + 1:]:
+            a, b = sorted([w1, w2])
+            if batch_dl_distance([a], [b])[0] <= 2:
+                want.add((a, b))
+    assert got == want
+    assert ("abc", "ca") in got             # the pinned full-DL case
+    assert ("santos", "satnso") in got      # two transpositions
+    assert ("a", "b") in got                # via the empty shared variant
+    assert ("juan", "nauj") not in got      # reversal is distance 3
+
+
+def test_symspell_delete2_radius1_matches_delete1(spark):
+    from name_matching_spark.operators.blocking import (
+        symspell_delete1_pairs,
+        symspell_delete_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("maria",), ("mara",), ("mraia",), ("jose",), ("rose",)],
+        "word string",
+    )
+    a = {(r.w1, r.w2) for r in symspell_delete1_pairs(df).collect()}
+    b = {(r.w1, r.w2) for r in symspell_delete_pairs(df, max_edits=1).collect()}
+    assert a == b
+
+
 # ---------------------------------------------------------------------------
 # ROC AUC (census-based Mann-Whitney)
 # ---------------------------------------------------------------------------
