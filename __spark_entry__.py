@@ -3113,6 +3113,52 @@ def q118_symspell2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy one-to-one assignment (``score_pairs.one_to_one_matching``,
+    3 unrolled rounds of reciprocal best match) over the phonetic-blocked
+    even-vs-odd bipartite pair set, scored by exact integer token-set
+    Jaccard ppm of the standardized full names. Every record ends up
+    linked to at most one partner — the assignment step person-merge
+    needs after pairwise scoring. Bounded to record_id < 3000 (the
+    q18/q88/q108 slice convention)."""
+    from name_matching_spark.operators.blocking import blocking_key_column
+    from name_matching_spark.operators.normalize import (
+        LinkageSchema,
+        normalize_records,
+    )
+    from name_matching_spark.operators.score_pairs import one_to_one_matching
+
+    person = _person_df(spark, sf_dir).filter(F.col("record_id") < 3000)
+    sc = spark.sparkContext
+    if person.rdd.getNumPartitions() < sc.defaultParallelism:
+        person = person.repartition(sc.defaultParallelism)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    keyed = norm.select(
+        "record_id",
+        blocking_key_column("phonetic").alias("bk"),
+        F.array_distinct(
+            F.filter(F.split(F.col("full_std"), r"\s+"), lambda x: x != "")
+        ).alias("toks"),
+    ).localCheckpoint(eager=False)
+    a = keyed.select(
+        F.col("record_id").alias("id1"), "bk", F.col("toks").alias("t1")
+    ).filter(F.col("id1") % 2 == 0)
+    b = keyed.select(
+        F.col("record_id").alias("id2"), "bk", F.col("toks").alias("t2")
+    ).filter(F.col("id2") % 2 == 1)
+    pairs = a.join(b, "bk").select(
+        "id1",
+        "id2",
+        F.expr(
+            "CAST(size(array_intersect(t1, t2)) * 1000000 "
+            "DIV greatest(size(array_union(t1, t2)), 1) AS BIGINT)"
+        ).alias("score_ppm"),
+    )
+    return one_to_one_matching(pairs, "score_ppm", rounds=3).select(
+        "id1", "id2", "score_ppm", "round"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3249,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_mixing_weights": q116_mixing_weights,
         "q117_pagerank": q117_pagerank,
         "q118_symspell2_pairs": q118_symspell2_pairs,
+        "q119_one_to_one": q119_one_to_one,
     }
 
 
@@ -4247,7 +4294,71 @@ def oracle_sql() -> dict[str, str]:
             FROM p5 JOIN deg ON deg.s = p5.u"""
     )
 
+    # q119: phonetic-blocked even-vs-odd bipartite pairs scored by exact
+    # integer token-set Jaccard ppm, then THREE unrolled rounds of
+    # reciprocal best match with endpoint removal (greedy one-to-one
+    # assignment; MATERIALIZED so each round evaluates once).
+    _o2o_sql = _PERSON_CTE + f""",
+            named AS MATERIALIZED (
+                SELECT record_id,
+                       upper(substr(first_name, 1, 1)) AS fc,
+                       {_sdx_sql(_ORACLE_LAST)} AS sdx,
+                       trim(lower(first_name) || ' ' ||
+                            trim({_ORACLE_MIDDLE} || ' ' || {_ORACLE_LAST}))
+                           AS full_std
+                FROM person WHERE record_id < 3000),
+            tk AS MATERIALIZED (
+                SELECT DISTINCT record_id, t.tok
+                FROM named, LATERAL unnest(string_split_regex(full_std, '\\s+'))
+                    AS t(tok)
+                WHERE t.tok <> ''),
+            sz AS MATERIALIZED (
+                SELECT record_id, count(*) AS s FROM tk GROUP BY 1),
+            cand AS MATERIALIZED (
+                SELECT a.record_id AS id1, b.record_id AS id2
+                FROM named a JOIN named b
+                  ON a.fc = b.fc AND a.sdx = b.sdx
+                 AND a.record_id % 2 = 0 AND b.record_id % 2 = 1),
+            inter AS MATERIALIZED (
+                SELECT c.id1, c.id2, count(*) AS i
+                FROM cand c
+                JOIN tk a ON a.record_id = c.id1
+                JOIN tk b ON b.record_id = c.id2 AND b.tok = a.tok
+                GROUP BY 1, 2),
+            w0 AS MATERIALIZED (
+                SELECT c.id1, c.id2,
+                       CAST(coalesce(i.i, 0) * 1000000
+                            // greatest(coalesce(s1.s, 0) + coalesce(s2.s, 0)
+                                        - coalesce(i.i, 0), 1) AS BIGINT)
+                           AS score_ppm
+                FROM cand c
+                LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+                LEFT JOIN sz s1 ON s1.record_id = c.id1
+                LEFT JOIN sz s2 ON s2.record_id = c.id2)"""
+    for _i in range(1, 4):
+        _o2o_sql += f""",
+            m{_i} AS MATERIALIZED (
+                SELECT id1, id2, score_ppm FROM (
+                    SELECT *,
+                           row_number() OVER (PARTITION BY id1
+                               ORDER BY score_ppm DESC, id2 ASC) AS r1,
+                           row_number() OVER (PARTITION BY id2
+                               ORDER BY score_ppm DESC, id1 ASC) AS r2
+                    FROM w{_i - 1})
+                WHERE r1 = 1 AND r2 = 1),
+            w{_i} AS MATERIALIZED (
+                SELECT w.* FROM w{_i - 1} w
+                WHERE w.id1 NOT IN (SELECT id1 FROM m{_i})
+                  AND w.id2 NOT IN (SELECT id2 FROM m{_i}))"""
+    _o2o_sql += """
+            SELECT id1, id2, score_ppm, CAST(1 AS BIGINT) AS round FROM m1
+            UNION ALL
+            SELECT id1, id2, score_ppm, CAST(2 AS BIGINT) FROM m2
+            UNION ALL
+            SELECT id1, id2, score_ppm, CAST(3 AS BIGINT) FROM m3"""
+
     return {
+        "q119_one_to_one": _o2o_sql,
         "q117_pagerank": _pagerank_sql,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -28,6 +28,7 @@ __all__ = [
     "score_pairs",
     "top_k_per_record",
     "mutual_best_match",
+    "one_to_one_matching",
     "qgram_cosine_pairs",
     "soft_tfidf_pairs",
 ]
@@ -490,3 +491,66 @@ def soft_tfidf_pairs(
             ).alias("soft_tfidf"),
         )
     )
+
+
+def one_to_one_matching(
+    pairs: DataFrame,
+    score_col: str = "score",
+    id1_col: str = "id1",
+    id2_col: str = "id2",
+    rounds: int = 3,
+    symmetric: bool = False,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Greedy one-to-one assignment by ITERATED reciprocal best match —
+    the scalable relaxation of optimal bipartite assignment (Hungarian is
+    inherently sequential; iterated mutual-best is the standard
+    distributed greedy and is within a factor 2 of optimal weight). Each
+    round keeps the pairs where both endpoints prefer each other
+    (:func:`mutual_best_match`), then removes every pair touching a
+    matched endpoint; records freed up this way get matched to their
+    next-best partner in a later round.
+
+    A FIXED round count (default 3 — round 1 matches the bulk, later
+    rounds mop up preference chains) keeps the operator deterministic and
+    lets the SQL oracle unroll the same rounds. Ties break by partner id
+    ascending, so the assignment is unique in any engine.
+
+    Output: matched pairs with all input columns plus ``round``
+    (1-based). Scale shape per round: two window shuffles partitioned by
+    a record id plus two anti-joins against the (matched-nodes-sized)
+    endpoint set; ``checkpoint`` (default True) localCheckpoints the
+    shrinking remainder each round so round r's plan does not re-rank
+    rounds 1..r-1 (disable only for tiny inputs).
+    """
+    out = None
+    remaining = pairs
+    if checkpoint:
+        remaining = remaining.localCheckpoint(eager=False)
+    for rnd in range(1, rounds + 1):
+        m = mutual_best_match(
+            remaining, score_col, id1_col, id2_col, symmetric=symmetric
+        )
+        if checkpoint:
+            m = m.localCheckpoint(eager=False)
+        tagged = m.withColumn("round", F.lit(rnd).cast("long"))
+        out = tagged if out is None else out.unionByName(tagged)
+        if symmetric:
+            # one shared id namespace: drop pairs touching either endpoint
+            nodes = (
+                m.select(F.col(id1_col).alias("_n"))
+                .unionAll(m.select(F.col(id2_col).alias("_n")))
+                .distinct()
+            )
+            remaining = remaining.join(
+                nodes.withColumnRenamed("_n", id1_col), id1_col, "left_anti"
+            ).join(nodes.withColumnRenamed("_n", id2_col), id2_col, "left_anti")
+        else:
+            # bipartite: the two sides are separate namespaces (possibly
+            # different types) — remove each side against its own column
+            remaining = remaining.join(
+                m.select(id1_col), id1_col, "left_anti"
+            ).join(m.select(id2_col), id2_col, "left_anti")
+        if checkpoint:
+            remaining = remaining.localCheckpoint(eager=False)
+    return out

@@ -598,3 +598,55 @@ def test_meta_blocking_purges_oversized_blocks(spark):
     # without the cap the hot block's edges appear
     full = meta_blocking_wnp(blocks).count()
     assert full == 8 * 7 // 2  # all pairs of the hot block (incl. (A,B))
+
+
+def test_one_to_one_matching_greedy_reference(spark):
+    """Iterated mutual-best == the Python greedy reference (rank pairs by
+    (score desc, id1, id2); take a pair iff both endpoints unmatched after
+    all strictly-better and tie-earlier preferences resolve round-wise)."""
+    from name_matching_spark.operators.score_pairs import one_to_one_matching
+
+    # bipartite: left ids 1..4 (even namespace via letters), right a..d
+    pairs = [
+        (1, "a", 90), (1, "b", 80),
+        (2, "a", 85), (2, "b", 70),
+        (3, "b", 60), (3, "c", 60),   # tie -> partner id asc: c? No: b < c
+        (4, "d", 50), (4, "c", 50),
+    ]
+    df = spark.createDataFrame(pairs, "id1 long, id2 string, score long")
+
+    def greedy(pairs, rounds=3):
+        import collections
+        remaining = list(pairs)
+        matched = []
+        for rnd in range(1, rounds + 1):
+            best1, best2 = {}, {}
+            for i1, i2, s in remaining:
+                if best1.get(i1) is None or (-s, i2) < best1[i1]:
+                    best1[i1] = (-s, i2)
+                if best2.get(i2) is None or (-s, i1) < best2[i2]:
+                    best2[i2] = (-s, i1)
+            m = [
+                (i1, i2, s, rnd)
+                for i1, i2, s in remaining
+                if best1[i1] == (-s, i2) and best2[i2] == (-s, i1)
+            ]
+            matched.extend(m)
+            used1 = {x[0] for x in m}
+            used2 = {x[1] for x in m}
+            remaining = [
+                p for p in remaining if p[0] not in used1 and p[1] not in used2
+            ]
+        return sorted(matched)
+
+    got = sorted(
+        (r["id1"], r["id2"], r["score"], r["round"])
+        for r in one_to_one_matching(df, "score", rounds=3).collect()
+    )
+    assert got == greedy(pairs)
+    # round 1: (1,a); 2 freed -> no, 2's best a is taken: 2-b round 2
+    assert (1, "a", 90, 1) in got
+    assert (2, "b", 70, 2) in got
+    # every endpoint at most once
+    assert len({g[0] for g in got}) == len(got)
+    assert len({g[1] for g in got}) == len(got)
