@@ -3159,6 +3159,27 @@ def q119_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_v_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-measure (``evaluation.v_measure``) between the exact-full-name
+    clustering and the token-order-insensitive clustering (q112's
+    partitions): the entropy-based homogeneity/completeness view of the
+    same disagreement the ARI quantifies by pair counting."""
+    from name_matching_spark.operators.evaluation import v_measure
+    from name_matching_spark.operators.normalize import LinkageSchema, normalize_records
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    pred = norm.select(
+        "record_id",
+        F.min("record_id").over(Window.partitionBy("full_std")).alias("cluster_id"),
+    )
+    truth = norm.select(
+        "record_id",
+        F.min("record_id").over(Window.partitionBy("sorted_full")).alias("class_id"),
+    )
+    return v_measure(pred, truth)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3296,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_pagerank": q117_pagerank,
         "q118_symspell2_pairs": q118_symspell2_pairs,
         "q119_one_to_one": q119_one_to_one,
+        "q120_v_measure": q120_v_measure,
     }
 
 
@@ -5557,6 +5579,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q77_soft_tfidf": _q77_oracle(),
         "q105_smith_waterman": _q105_oracle(),
+        "q120_v_measure": _PERSON_CTE + f""",
+            named AS (SELECT record_id,
+                trim(lower(first_name) || ' ' ||
+                     trim({_ORACLE_MIDDLE} || ' ' || {_ORACLE_LAST})) AS full_std,
+                {_SORTED_FULL_SQL} AS sorted_full
+                FROM person),
+            assg AS (SELECT record_id,
+                       min(record_id) OVER (PARTITION BY full_std) AS c1,
+                       min(record_id) OVER (PARTITION BY sorted_full) AS c2
+                     FROM named),
+            cells AS MATERIALIZED (
+                SELECT c1, c2, count(*) AS n FROM assg GROUP BY 1, 2),
+            nk AS MATERIALIZED (SELECT c1, sum(n) AS nk FROM cells GROUP BY 1),
+            nc AS MATERIALIZED (SELECT c2, sum(n) AS nc FROM cells GROUP BY 1),
+            tot AS MATERIALIZED (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                                        CAST(sum(n) AS BIGINT) AS n_records
+                                 FROM cells),
+            cond AS (SELECT
+                       -sum(CAST(n AS DOUBLE) / tot.nn
+                            * ln(CAST(n AS DOUBLE) / CAST(nk.nk AS DOUBLE)))
+                           AS h_ck,
+                       -sum(CAST(n AS DOUBLE) / tot.nn
+                            * ln(CAST(n AS DOUBLE) / CAST(nc.nc AS DOUBLE)))
+                           AS h_kc
+                     FROM cells JOIN nk USING (c1) JOIN nc USING (c2), tot),
+            ec AS (SELECT -sum(CAST(nc AS DOUBLE) / tot.nn
+                               * ln(CAST(nc AS DOUBLE) / tot.nn)) AS h_c,
+                          CAST(count(*) AS BIGINT) AS n_classes
+                   FROM nc, tot),
+            ek AS (SELECT -sum(CAST(nk AS DOUBLE) / tot.nn
+                               * ln(CAST(nk AS DOUBLE) / tot.nn)) AS h_k,
+                          CAST(count(*) AS BIGINT) AS n_clusters
+                   FROM nk, tot),
+            hc AS (SELECT tot.n_records, ek.n_clusters, ec.n_classes,
+                          CASE WHEN ec.h_c = 0.0 THEN CAST(1.0 AS DOUBLE)
+                               ELSE 1.0 - cond.h_ck / ec.h_c END AS homogeneity,
+                          CASE WHEN ek.h_k = 0.0 THEN CAST(1.0 AS DOUBLE)
+                               ELSE 1.0 - cond.h_kc / ek.h_k END AS completeness
+                   FROM tot, cond, ec, ek)
+            SELECT n_records, n_clusters, n_classes, homogeneity, completeness,
+                   CASE WHEN homogeneity + completeness = 0.0
+                        THEN CAST(0.0 AS DOUBLE)
+                        ELSE 2.0 * homogeneity * completeness
+                             / (homogeneity + completeness) END AS v_measure
+            FROM hc
+        """,
         "q112_adjusted_rand": _PERSON_CTE + f""",
             named AS (SELECT record_id,
                 trim(lower(first_name) || ' ' ||

@@ -21,6 +21,7 @@ __all__ = [
     "cohens_kappa",
     "roc_auc",
     "adjusted_rand_index",
+    "v_measure",
 ]
 
 
@@ -361,3 +362,99 @@ def adjusted_rand_index(
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("ari"),
     )
+
+
+def v_measure(
+    assignment: DataFrame,
+    truth: DataFrame,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+    class_col: str = "class_id",
+) -> DataFrame:
+    """V-measure (Rosenberg & Hirschberg 2007): the entropy-based external
+    clustering metric — homogeneity (every cluster contains one class),
+    completeness (every class lands in one cluster), and their harmonic
+    mean. Completes the external-validity family next to
+    :func:`adjusted_rand_index` (pair counting) and
+    :func:`bcubed_metrics` (per-record averaging).
+
+    All entropies come from the (cluster, class) contingency census:
+    H(C|K) = -Σ (n/N)·ln(n/n_k), H(C) = -Σ (n_c/N)·ln(n_c/N), homogeneity
+    = 1 - H(C|K)/H(C) (1 by convention when H(C) = 0), symmetrically for
+    completeness, v = 2hc/(h+c) (0 when h + c = 0). The only float
+    reductions are over the census, so cross-engine summation drift is
+    bounded by the number of cells, not records.
+
+    Scale shape: one id-keyed join, one census groupBy, marginal
+    aggregations over the census — the ARI plan with logs instead of
+    binomials. Output: one row (n_records, n_clusters, n_classes,
+    homogeneity, completeness, v_measure).
+    """
+    a = assignment.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c"))
+    t = truth.select(F.col(id_col).alias("_id"), F.col(class_col).alias("_t"))
+    cells = a.join(t, "_id").groupBy("_c", "_t").agg(F.count(F.lit(1)).alias("n"))
+    nk = cells.groupBy("_c").agg(F.sum("n").alias("nk"))
+    nc = cells.groupBy("_t").agg(F.sum("n").alias("nc"))
+    tot = cells.agg(
+        F.sum("n").alias("_nn"), F.count(F.lit(1)).alias("_cells")
+    )
+    joined = cells.join(nk, "_c").join(nc, "_t").crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    cond = joined.agg(
+        (
+            -F.sum(
+                nd / F.col("_nn").cast("double")
+                * F.log(nd / F.col("nk").cast("double"))
+            )
+        ).alias("h_ck"),
+        (
+            -F.sum(
+                nd / F.col("_nn").cast("double")
+                * F.log(nd / F.col("nc").cast("double"))
+            )
+        ).alias("h_kc"),
+    )
+    ent_c = nc.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(
+                F.col("nc").cast("double")
+                / F.col("_nn").cast("double")
+                * F.log(F.col("nc").cast("double") / F.col("_nn").cast("double"))
+            )
+        ).alias("h_c"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    )
+    ent_k = nk.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(
+                F.col("nk").cast("double")
+                / F.col("_nn").cast("double")
+                * F.log(F.col("nk").cast("double") / F.col("_nn").cast("double"))
+            )
+        ).alias("h_k"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+    )
+    n_df = tot.select(F.col("_nn").cast("long").alias("n_records"))
+    combined = n_df.crossJoin(cond).crossJoin(ent_c).crossJoin(ent_k)
+    h = F.when(F.col("h_c") == 0.0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.col("h_ck") / F.col("h_c")
+    )
+    c = F.when(F.col("h_k") == 0.0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.col("h_kc") / F.col("h_k")
+    )
+    out = combined.select(
+        "n_records",
+        "n_clusters",
+        "n_classes",
+        h.alias("homogeneity"),
+        c.alias("completeness"),
+    )
+    v = F.when(
+        F.col("homogeneity") + F.col("completeness") == 0.0, F.lit(0.0)
+    ).otherwise(
+        F.lit(2.0)
+        * F.col("homogeneity")
+        * F.col("completeness")
+        / (F.col("homogeneity") + F.col("completeness"))
+    )
+    return out.withColumn("v_measure", v)

@@ -337,3 +337,54 @@ def test_pagerank_matches_numpy(spark):
     # rank mass sums to ~1 and the triangle hub (3) outranks the tail tip
     assert abs(sum(v["pagerank"] for v in out.values()) - 1.0) < 1e-9
     assert out[3]["pagerank"] > out[5]["pagerank"]
+
+
+def test_v_measure_hand_computed(spark):
+    import math
+
+    from name_matching_spark.operators.evaluation import v_measure
+
+    # truth: {1,2,3},{4,5}; pred splits the first class -> completeness < 1,
+    # homogeneity = 1 (every cluster pure)
+    pred = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "c")],
+        ["record_id", "cluster_id"],
+    )
+    truth = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "y")],
+        ["record_id", "class_id"],
+    )
+    r = v_measure(pred, truth).collect()[0]
+    assert (r["n_records"], r["n_clusters"], r["n_classes"]) == (5, 3, 2)
+    assert abs(r["homogeneity"] - 1.0) < 1e-12
+    n = 5
+    # completeness = 1 - H(K|C)/H(K): K conditioned on the truth classes,
+    # normalized by the CLUSTER-size entropy
+    h_k = (
+        -(2 / n) * math.log(2 / n)
+        - (1 / n) * math.log(1 / n)
+        - (2 / n) * math.log(2 / n)
+    )
+    h_kc = -(2 / n) * math.log(2 / 3) - (1 / n) * math.log(1 / 3)
+    comp = 1 - h_kc / h_k
+    assert abs(r["completeness"] - comp) < 1e-12
+    v = 2 * 1.0 * comp / (1.0 + comp)
+    assert abs(r["v_measure"] - v) < 1e-12
+
+
+def test_v_measure_identical_and_degenerate(spark):
+    from name_matching_spark.operators.evaluation import v_measure
+
+    same = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["record_id", "cluster_id"]
+    )
+    truth = same.withColumnRenamed("cluster_id", "class_id")
+    r = v_measure(same, truth).collect()[0]
+    assert r["homogeneity"] == 1.0 and r["completeness"] == 1.0 and r["v_measure"] == 1.0
+    # single truth class (H(C)=0): homogeneity = 1 by convention
+    one = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x")], ["record_id", "class_id"]
+    )
+    r2 = v_measure(same, one).collect()[0]
+    assert r2["homogeneity"] == 1.0
+    assert r2["completeness"] < 1.0
