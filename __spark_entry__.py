@@ -3180,6 +3180,18 @@ def q120_v_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v_measure(pred, truth)
 
 
+def q121_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-truss peeling (``clustering.k_truss``, 3 unrolled
+    rounds) over the q108 meta-blocked candidate graph: edges in no
+    triangle — the chain-merge bridges — peel away before transitive
+    clustering; survivors carry their final-round triangle support. Same
+    record_id < 3000 slice as the rest of the graph family."""
+    from name_matching_spark.operators.clustering import k_truss
+
+    edges = q108_meta_blocking(spark, sf_dir).select("id1", "id2")
+    return k_truss(edges, k=3, rounds=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3318,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_symspell2_pairs": q118_symspell2_pairs,
         "q119_one_to_one": q119_one_to_one,
         "q120_v_measure": q120_v_measure,
+        "q121_k_truss": q121_k_truss,
     }
 
 
@@ -4379,7 +4392,38 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT id1, id2, score_ppm, CAST(3 AS BIGINT) FROM m3"""
 
+    # q121: THREE unrolled 3-truss peel rounds over the q108 kept graph —
+    # per round a canonical a<b<c triangle enumeration, an edge support
+    # census, and a support >= k-2 filter; final support recounted on the
+    # surviving set (left join, absent -> 0).
+    _truss_sql = _meta_kept_ctes + """,
+            e0 AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM kept)"""
+    for _i in range(4):
+        _truss_sql += f""",
+            t{_i} AS MATERIALIZED (
+                SELECT ab.u AS a, ab.v AS b, ac.v AS c
+                FROM e{_i} ab
+                JOIN e{_i} ac ON ac.u = ab.u AND ab.v < ac.v
+                JOIN e{_i} bc ON bc.u = ab.v AND bc.v = ac.v),
+            s{_i} AS MATERIALIZED (
+                SELECT u, v, count(*) AS sup FROM (
+                    SELECT a AS u, b AS v FROM t{_i}
+                    UNION ALL SELECT a, c FROM t{_i}
+                    UNION ALL SELECT b, c FROM t{_i})
+                GROUP BY 1, 2)"""
+        if _i < 3:
+            _truss_sql += f""",
+            e{_i + 1} AS MATERIALIZED (
+                SELECT e.u, e.v FROM e{_i} e
+                JOIN s{_i} s ON s.u = e.u AND s.v = e.v
+                WHERE s.sup >= 1)"""
+    _truss_sql += """
+            SELECT e3.u AS id1, e3.v AS id2,
+                   CAST(coalesce(s3.sup, 0) AS BIGINT) AS support
+            FROM e3 LEFT JOIN s3 ON s3.u = e3.u AND s3.v = e3.v"""
+
     return {
+        "q121_k_truss": _truss_sql,
         "q119_one_to_one": _o2o_sql,
         "q117_pagerank": _pagerank_sql,
         "q01_pricing_summary": """

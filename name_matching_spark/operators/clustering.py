@@ -26,6 +26,7 @@ __all__ = [
     "triangle_count",
     "clustering_coefficient",
     "pagerank",
+    "k_truss",
 ]
 
 
@@ -590,4 +591,79 @@ def pagerank(
         F.col("node").alias("record_id"),
         F.col("r").alias("pagerank"),
         F.col("d").cast("long").alias("degree"),
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    k: int = 3,
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded k-truss peeling over the undirected match graph: per round,
+    recount each edge's triangle support within the surviving edge set and
+    drop edges supporting fewer than k-2 triangles. The truss is the
+    cluster BACKBONE — chain-merge bridges (edges in no triangle, for
+    k = 3) peel away without any scoring, the classic structural cleanup
+    before transitive clustering (Cohen 2008).
+
+    A FIXED round count (default 3; peeling converges geometrically on
+    match graphs) keeps the operator deterministic and SQL-unrollable —
+    the full truss fixpoint would need a data-dependent loop. Output:
+    surviving edges with their support recounted on the FINAL edge set,
+    so ``support >= k-2`` for all rows iff peeling converged (a cheap
+    convergence audit for the caller).
+
+    Scale shape per round: one degree-ordered-style triangle enumeration
+    (canonical a<b<c via two id-ordered joins) and one edge-keyed census —
+    O(triangles + edges), pair-free; the shrinking edge set is
+    localCheckpoint'd per round so round r never re-peels rounds 1..r-1.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _support(cur: DataFrame) -> DataFrame:
+        ab = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        ac = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        bc = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        tri = (
+            ab.join(ac, "a")
+            .filter(F.col("b") < F.col("c"))
+            .join(bc, ["b", "c"])
+        )
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                        F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+                        F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.u", "_e.v")
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        return cur.join(sup, ["u", "v"], "left").select(
+            "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+        )
+
+    for _ in range(rounds):
+        e = (
+            _support(e)
+            .filter(F.col("support") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return _support(e).select(
+        F.col("u").alias(src), F.col("v").alias(dst), "support"
     )

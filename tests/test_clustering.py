@@ -388,3 +388,34 @@ def test_v_measure_identical_and_degenerate(spark):
     r2 = v_measure(same, one).collect()[0]
     assert r2["homogeneity"] == 1.0
     assert r2["completeness"] < 1.0
+
+
+def test_k_truss_peels_bridges(spark):
+    from name_matching_spark.operators.clustering import k_truss
+
+    # two triangles joined by a bridge, plus a pendant chain:
+    # triangle 1-2-3, triangle 4-5-6, bridge 3-4, chain 6-7-8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (6, 7), (7, 8)],
+        ["id1", "id2"],
+    )
+    out = {(r["id1"], r["id2"]): r["support"] for r in k_truss(edges).collect()}
+    # only the two triangles survive, every kept edge in exactly 1 triangle
+    assert set(out) == {(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)}
+    assert all(v == 1 for v in out.values())
+
+
+def test_k_truss_cascading_peel(spark):
+    from name_matching_spark.operators.clustering import k_truss
+
+    # diamond: 1-2-3 triangle + 2-3-4 triangle; removing nothing -- all in
+    # a triangle. Add a tail triangle that collapses after round 1:
+    # 5-6, 6-7, 5-7 share with 7-8 only via bridge -> bridge gone round 1,
+    # triangle 5-6-7 still valid (support recount unaffected)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (5, 6), (6, 7), (5, 7), (7, 8)],
+        ["id1", "id2"],
+    )
+    out = {(r["id1"], r["id2"]): r["support"] for r in k_truss(edges).collect()}
+    assert (7, 8) not in out and (1, 2) in out and (5, 6) in out
+    assert out[(2, 3)] == 2  # shared diamond edge supports two triangles
