@@ -3192,6 +3192,16 @@ def q121_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(edges, k=3, rounds=3)
 
 
+def q122_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf·idf keywords per document
+    (``text_analysis.tfidf_keywords``): unsmoothed ln(N/df) idf, ties
+    (score desc, token asc) — the corpus-labeling step after dedup."""
+    from name_matching_spark.operators.text_analysis import tfidf_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_keywords(docs, top_k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3331,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_one_to_one": q119_one_to_one,
         "q120_v_measure": q120_v_measure,
         "q121_k_truss": q121_k_truss,
+        "q122_tfidf_keywords": q122_tfidf_keywords,
     }
 
 
@@ -6166,6 +6177,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
                    COALESCE(r.text_dedup, '') AS text_dedup
             FROM stats s LEFT JOIN reb r USING (doc_id)
+        """,
+        "q122_tfidf_keywords": """
+            WITH toks AS (
+                SELECT doc_id, t.token
+                FROM documents,
+                     LATERAL unnest(string_split_regex(lower(text), '\\s+'))
+                         AS t(token)
+                WHERE t.token <> ''),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                       CAST(tf.tf AS DOUBLE)
+                           * ln(CAST(nd.n AS DOUBLE) / CAST(dfq.df AS DOUBLE))
+                           AS score
+                FROM tf JOIN dfq USING (token), nd),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS rank
+                  FROM scored)
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+                   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+            FROM r WHERE rank <= 5
         """,
         "q116_mixing_weights": """
             WITH dom AS (SELECT lang, source, count(*) AS n_docs,

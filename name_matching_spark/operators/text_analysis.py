@@ -32,6 +32,7 @@ __all__ = [
     "bigram_novelty",
     "unigram_cross_entropy",
     "mixing_weights",
+    "tfidf_keywords",
     "pii_scrub",
     "PII_PATTERNS",
     "LANG_MARKERS",
@@ -632,4 +633,54 @@ def mixing_weights(
         (weight * F.col("_t").cast("double") / F.col("n_tokens").cast("double")).alias(
             "boost"
         ),
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_k`` tokens by tf·idf
+    (idf = ln(N/df), the classic unsmoothed form — a corpus-wide token
+    scores 0 and never surfaces). Ties break (score desc, token asc), so
+    the ranking is unique in any engine. The summarization/labeling step a
+    corpus pipeline runs after dedup.
+
+    Scale shape: one (doc, token) groupBy with map-side combine, one
+    vocabulary-sized df census joined back on the token string, a 1-row
+    count broadcast, and a per-doc window over that doc's distinct tokens
+    (bounded by doc vocabulary, not corpus size).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log(F.col("_n").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+        )
     )

@@ -820,3 +820,30 @@ def test_mixing_weights_hand_computed(spark):
     # tail domain upsampled 2.5x, head downsampled
     assert abs(b["boost"] - 2.5) < 1e-12
     assert abs(a["boost"] - 0.75 / 0.9) < 1e-12
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    from name_matching_spark.operators.text_analysis import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common common cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {}
+    for r in tfidf_keywords(df, top_k=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["score"]))
+    for v in out.values():
+        v.sort()
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5);
+    # common df=3 -> score 0
+    assert [t for _, t, _ in out[1]] == ["apple", "banana"]
+    assert abs(out[1][0][2] - 2 * math.log(3)) < 1e-12
+    assert abs(out[1][1][2] - math.log(1.5)) < 1e-12
+    # doc 3: cherry beats common (0); tie on zero -> token asc
+    assert [t for _, t, _ in out[3]][0] == "cherry"
