@@ -3202,6 +3202,23 @@ def q122_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(docs, top_k=5)
 
 
+def q123_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile (``profiling.profile_table``)
+    over the dirty ingest frame: null/empty rates, exact + KMV-sketch
+    distinct counts, min/max, modal value, mean length — the report a
+    linkage pipeline reads before choosing blocking keys and
+    validators."""
+    from name_matching_spark.operators.profiling import profile_table
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    dirty = spark.sql(_dirty_ingest_sql("spark"))
+    return profile_table(
+        dirty, ["first_name", "middle_name_last_name", "birthdate"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3342,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_v_measure": q120_v_measure,
         "q121_k_truss": q121_k_truss,
         "q122_tfidf_keywords": q122_tfidf_keywords,
+        "q123_profile_table": q123_profile_table,
     }
 
 
@@ -6177,6 +6195,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
                    COALESCE(r.text_dedup, '') AS text_dedup
             FROM stats s LEFT JOIN reb r USING (doc_id)
+        """,
+        "q123_profile_table": f"""
+            WITH dirty AS ({_dirty_ingest_sql("duckdb")}),
+            lv AS MATERIALIZED (
+                SELECT 'first_name' AS col_name, first_name AS value FROM dirty
+                UNION ALL
+                SELECT 'middle_name_last_name', middle_name_last_name FROM dirty
+                UNION ALL
+                SELECT 'birthdate', birthdate FROM dirty),
+            base AS (SELECT col_name,
+                            CAST(count(*) AS BIGINT) AS n_rows,
+                            CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_null,
+                            CAST(sum(CASE WHEN value = '' THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_empty,
+                            CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+                            min(value) AS min_value,
+                            max(value) AS max_value,
+                            sum(CASE WHEN value IS NULL THEN 0
+                                     ELSE length(value) END) AS len_sum
+                     FROM lv GROUP BY 1),
+            tc AS (SELECT col_name, value, count(*) AS n
+                   FROM lv WHERE value IS NOT NULL GROUP BY 1, 2),
+            top AS (SELECT col_name, value AS top_value,
+                           CAST(n AS BIGINT) AS top_count
+                    FROM (SELECT *, row_number() OVER (PARTITION BY col_name
+                                  ORDER BY n DESC, value ASC) AS rn
+                          FROM tc)
+                    WHERE rn = 1),
+            h AS (SELECT DISTINCT col_name,
+                         ('0x' || substr(md5(value), 1, 14))::BIGINT AS hh
+                  FROM lv WHERE value IS NOT NULL),
+            r AS (SELECT col_name, hh,
+                         row_number() OVER (PARTITION BY col_name
+                             ORDER BY hh) AS rn
+                  FROM h),
+            st AS (SELECT col_name, count(*) AS nh FROM h GROUP BY 1),
+            kth AS (SELECT col_name, hh FROM r WHERE rn = 64),
+            est AS (SELECT st.col_name,
+                           CAST(CASE WHEN st.nh < 64 THEN st.nh
+                                     ELSE 63 * CAST(72057594037927936 AS BIGINT)
+                                          // greatest(kth.hh, 1)
+                                END AS BIGINT) AS est_distinct
+                    FROM st LEFT JOIN kth USING (col_name))
+            SELECT b.col_name, b.n_rows, b.n_null, b.n_empty, b.n_distinct,
+                   CAST(coalesce(e.est_distinct, 0) AS BIGINT) AS est_distinct,
+                   b.min_value, b.max_value,
+                   t.top_value,
+                   CAST(coalesce(t.top_count, 0) AS BIGINT) AS top_count,
+                   CAST(b.len_sum * 1000000
+                        // greatest(b.n_rows - b.n_null, 1) AS BIGINT)
+                       AS avg_len_ppm
+            FROM base b
+            LEFT JOIN top t USING (col_name)
+            LEFT JOIN est e USING (col_name)
         """,
         "q122_tfidf_keywords": """
             WITH toks AS (

@@ -48,6 +48,9 @@ HEADLINE = [
     "q103_line_dedup",
     "q104_constrained_clusters",
     "q105_smith_waterman",
+    "q113_unigram_perplexity",
+    "q118_symspell2_pairs",
+    "q121_k_truss",
 ]
 
 

@@ -65,3 +65,25 @@ def test_kmv_k_bounds():
         kmv_distinct(None, "g", "v", k=1)
     with pytest.raises(ValueError):
         kmv_distinct(None, "g", "v", k=128)
+
+
+def test_profile_table_hand_computed(spark):
+    from name_matching_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [
+            ("a", None), ("a", 1), ("", 1), ("b", 2), ("a", None),
+        ],
+        ["name", "v"],
+    )
+    out = {r["col_name"]: r for r in profile_table(df, ["name", "v"]).collect()}
+    n = out["name"]
+    assert (n["n_rows"], n["n_null"], n["n_empty"], n["n_distinct"]) == (5, 0, 1, 3)
+    assert n["est_distinct"] == 3  # under k: exact
+    assert (n["min_value"], n["max_value"]) == ("", "b")
+    assert (n["top_value"], n["top_count"]) == ("a", 3)
+    assert n["avg_len_ppm"] == 4 * 1_000_000 // 5  # lengths 1+1+0+1+1 over 5
+    v = out["v"]
+    assert (v["n_rows"], v["n_null"], v["n_distinct"]) == (5, 2, 2)
+    assert (v["top_value"], v["top_count"]) == ("1", 2)
+    assert v["avg_len_ppm"] == 1_000_000  # "1","1","2" over 3 non-null
