@@ -3219,6 +3219,21 @@ def q123_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q124_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic representative per coarse cluster
+    (``similarity_search.cluster_medoids``): the member whose cosine to
+    the cluster's mean vector is highest, over q107's deterministic
+    16-centroid quantizer assignment — the exemplar-selection step after
+    semantic dedup."""
+    from name_matching_spark.operators.similarity_search import cluster_medoids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    asn = q107_semantic_dedup(spark, sf_dir).select(
+        "vec_id", F.col("centroid_id").alias("cluster_id")
+    )
+    return cluster_medoids(emb, asn)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3360,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_k_truss": q121_k_truss,
         "q122_tfidf_keywords": q122_tfidf_keywords,
         "q123_profile_table": q123_profile_table,
+        "q124_cluster_medoids": q124_cluster_medoids,
     }
 
 
@@ -5757,6 +5773,50 @@ def oracle_sql() -> dict[str, str]:
                   FROM counted)
             SELECT cluster_id, field, value AS golden_value,
                    CAST(n AS BIGINT) AS n_votes
+            FROM r WHERE rn = 1
+        """,
+        "q124_cluster_medoids": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            en AS (SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                         i -> v[i] * v[i]))) AS vn
+                   FROM e),
+            cent AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn
+                     FROM en ORDER BY vec_id LIMIT 16),
+            asn0 AS (SELECT en.vec_id, en.v, en.vn, cent.centroid_id,
+                       CASE WHEN en.vn = 0 OR cent.cn = 0 THEN 0.0
+                            ELSE list_sum(list_transform(range(1, len(en.v) + 1),
+                                   i -> en.v[i] * cent.cv[i])) / (en.vn * cent.cn)
+                       END AS csim
+                     FROM en, cent),
+            asn AS MATERIALIZED (SELECT vec_id, v, centroid_id FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, centroid_id ASC) AS cr
+                      FROM asn0)
+                    WHERE cr = 1),
+            dims AS MATERIALIZED (
+                SELECT asn.centroid_id AS cl, asn.vec_id AS id,
+                       t.i AS d, asn.v[t.i] AS x
+                FROM asn, LATERAL unnest(range(1, len(asn.v) + 1)) AS t(i)),
+            cm AS MATERIALIZED (
+                SELECT cl, d, sum(x) / count(*) AS cd FROM dims GROUP BY 1, 2),
+            cno AS (SELECT cl, sqrt(sum(cd * cd)) AS cn FROM cm GROUP BY 1),
+            pm AS (SELECT dims.cl, dims.id,
+                          sum(x * cd) AS dot, sqrt(sum(x * x)) AS mn
+                   FROM dims JOIN cm ON cm.cl = dims.cl AND cm.d = dims.d
+                   GROUP BY 1, 2),
+            sc AS (SELECT pm.cl, pm.id,
+                          CASE WHEN pm.mn = 0 OR cno.cn = 0
+                               THEN CAST(0.0 AS DOUBLE)
+                               ELSE pm.dot / (pm.mn * cno.cn) END AS cos
+                   FROM pm JOIN cno USING (cl)),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY cl
+                             ORDER BY cos DESC, id ASC) AS rn,
+                         count(*) OVER (PARTITION BY cl) AS nm
+                  FROM sc)
+            SELECT CAST(cl AS BIGINT) AS cluster_id, id AS medoid_id,
+                   CAST(nm AS BIGINT) AS n_members, cos AS medoid_cos
             FROM r WHERE rn = 1
         """,
         "q107_semantic_dedup": """

@@ -28,6 +28,7 @@ __all__ = [
     "semantic_dedup",
     "ivf_assignments",
     "centroid_update",
+    "cluster_medoids",
     "banding_candidate_prob",
     "banding_config",
 ]
@@ -865,4 +866,76 @@ def centroid_update(
             F.col("sum_scaled").cast("double")
             / (F.col("n").cast("double") * F.lit(FIXED_POINT_SCALE)),
         )
+    )
+
+
+def cluster_medoids(
+    vectors: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic representative per cluster: the member closest (cosine) to
+    its cluster's mean vector — the embedding-space analog of
+    ``clustering.select_canonical`` (SemDeDup keeps one exemplar per
+    semantic cluster; this picks it by centroid proximity instead of
+    lowest id). Ties break by member id ascending.
+
+    Fully relational (no vector UDF): one posexplode to (cluster, member,
+    dim, x) — rows x dim, narrow — a (cluster, dim)-keyed mean for the
+    centroid, a join back on (cluster, dim) for dots/norms, and a min_by
+    per cluster. Both the centroid means and the dot products are plain
+    group sums, the same reduction shape the SQL oracle runs, so
+    cross-engine drift is one ulp-scale rounding per dimension — ranking
+    flips would need two members at cosine distance ~1e-15 from each
+    other.
+
+    Output: (cluster_id, medoid_id, n_members, medoid_cos).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).join(
+        assignments.select(
+            F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cl")
+        ),
+        "_id",
+    )
+    dims = v.select(
+        "_cl",
+        "_id",
+        F.posexplode("_v").alias("_d", "_xf"),
+    ).select("_cl", "_id", "_d", F.col("_xf").cast("double").alias("_x"))
+    cent = dims.groupBy("_cl", "_d").agg(
+        (F.sum("_x") / F.count(F.lit(1))).alias("_cd")
+    )
+    cnorm = cent.groupBy("_cl").agg(
+        F.sqrt(F.sum(F.col("_cd") * F.col("_cd"))).alias("_cn")
+    )
+    per_member = (
+        dims.join(cent, ["_cl", "_d"])
+        .groupBy("_cl", "_id")
+        .agg(
+            F.sum(F.col("_x") * F.col("_cd")).alias("_dot"),
+            F.sqrt(F.sum(F.col("_x") * F.col("_x"))).alias("_mn"),
+        )
+    )
+    scored = per_member.join(cnorm, "_cl").select(
+        "_cl",
+        "_id",
+        F.when((F.col("_mn") == 0.0) | (F.col("_cn") == 0.0), F.lit(0.0))
+        .otherwise(F.col("_dot") / (F.col("_mn") * F.col("_cn")))
+        .alias("_cos"),
+    )
+    return scored.groupBy(F.col("_cl").alias(cluster_col)).agg(
+        F.min_by(
+            F.struct(F.col("_id").alias("medoid_id"), F.col("_cos").alias("c")),
+            F.struct((-F.col("_cos")).alias("a"), F.col("_id").alias("b")),
+        ).alias("_m"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    ).select(
+        cluster_col,
+        F.col("_m.medoid_id").alias("medoid_id"),
+        "n_members",
+        F.col("_m.c").alias("medoid_cos"),
     )

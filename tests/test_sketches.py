@@ -87,3 +87,28 @@ def test_profile_table_hand_computed(spark):
     assert (v["n_rows"], v["n_null"], v["n_distinct"]) == (5, 2, 2)
     assert (v["top_value"], v["top_count"]) == ("1", 2)
     assert v["avg_len_ppm"] == 1_000_000  # "1","1","2" over 3 non-null
+
+
+def test_cluster_medoids_hand_computed(spark):
+    from name_matching_spark.operators.similarity_search import cluster_medoids
+
+    # cluster 1: vectors around +x; member 2 is closest to the mean.
+    # cluster 2: a single member -> cosine 1 with itself.
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.1]),
+            (3, [1.0, 0.2]),
+            (9, [0.0, 3.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    asn = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (9, 20)], "vec_id long, cluster_id long"
+    )
+    out = {r["cluster_id"]: r for r in cluster_medoids(vecs, asn).collect()}
+    assert out[10]["medoid_id"] == 2  # mean direction ~ (1, 0.1)
+    assert out[10]["n_members"] == 3
+    assert out[20]["medoid_id"] == 9 and out[20]["n_members"] == 1
+    assert abs(out[20]["medoid_cos"] - 1.0) < 1e-9
+    assert 0.99 < out[10]["medoid_cos"] <= 1.0 + 1e-12
