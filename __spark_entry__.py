@@ -3234,6 +3234,40 @@ def q124_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_medoids(emb, asn)
 
 
+def q125_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the q16 entity clusters: per size, the
+    number of clusters, the records they hold, their exact record share
+    ppm, and the cumulative share from the largest size down — the audit
+    that flags runaway transitive merges (a giant component shows up as a
+    top-heavy cumulative curve). Two censuses over the assignment frame;
+    the window runs over the (tiny) size census only."""
+    clusters = q16_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    hist = sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    tot = hist.agg(F.sum(F.col("size") * F.col("n_clusters")).alias("_t"))
+    w = Window.orderBy(F.desc("size")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("n_records", (F.col("size") * F.col("n_clusters")).cast("long"))
+        .withColumn(
+            "records_ppm",
+            F.expr("CAST(size * n_clusters * 1000000 DIV _t AS BIGINT)"),
+        )
+        .withColumn("_cum", F.sum(F.col("size") * F.col("n_clusters")).over(w))
+        .select(
+            F.col("size").cast("long").alias("size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            "n_records",
+            "records_ppm",
+            F.expr("CAST(_cum * 1000000 DIV _t AS BIGINT)").alias(
+                "cum_records_ppm"
+            ),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3376,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_tfidf_keywords": q122_tfidf_keywords,
         "q123_profile_table": q123_profile_table,
         "q124_cluster_medoids": q124_cluster_medoids,
+        "q125_cluster_size_histogram": q125_cluster_size_histogram,
     }
 
 
@@ -5668,6 +5703,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q77_soft_tfidf": _q77_oracle(),
         "q105_smith_waterman": _q105_oracle(),
+        "q125_cluster_size_histogram": _PERSON_CTE + f""",
+            named AS (SELECT record_id,
+                trim(lower(first_name) || ' ' ||
+                     trim({_ORACLE_MIDDLE} || ' ' || {_ORACLE_LAST})) AS full_std
+                FROM person),
+            cl AS (SELECT record_id,
+                          min(record_id) OVER (PARTITION BY full_std) AS cid
+                   FROM named),
+            sizes AS (SELECT cid, count(*) AS size FROM cl GROUP BY 1),
+            hist AS (SELECT size, count(*) AS n_clusters FROM sizes GROUP BY 1),
+            tot AS (SELECT sum(size * n_clusters) AS t FROM hist)
+            SELECT CAST(size AS BIGINT) AS size,
+                   CAST(n_clusters AS BIGINT) AS n_clusters,
+                   CAST(size * n_clusters AS BIGINT) AS n_records,
+                   CAST(size * n_clusters * 1000000 // t AS BIGINT)
+                       AS records_ppm,
+                   CAST(sum(size * n_clusters) OVER (ORDER BY size DESC
+                            ROWS UNBOUNDED PRECEDING) * 1000000 // t
+                        AS BIGINT) AS cum_records_ppm
+            FROM hist, tot
+        """,
         "q120_v_measure": _PERSON_CTE + f""",
             named AS (SELECT record_id,
                 trim(lower(first_name) || ' ' ||
