@@ -3268,6 +3268,17 @@ def q125_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q126_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking
+    (``text_analysis.chunk_documents``, 64-token chunks, stride 48): the
+    embedding-preparation step of a retrieval pipeline; chunk text is
+    compared string-exact against the oracle's ordered reassembly."""
+    from name_matching_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3411,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_profile_table": q123_profile_table,
         "q124_cluster_medoids": q124_cluster_medoids,
         "q125_cluster_size_histogram": q125_cluster_size_histogram,
+        "q126_chunk_documents": q126_chunk_documents,
     }
 
 
@@ -6366,6 +6378,28 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN top t USING (col_name)
             LEFT JOIN est e USING (col_name)
+        """,
+        "q126_chunk_documents": """
+            WITH l0 AS (SELECT doc_id, sp,
+                               unnest(range(1, len(sp) + 1)) AS i
+                        FROM (SELECT doc_id,
+                                     string_split_regex(text, '\\s+') AS sp
+                              FROM documents)),
+            t0 AS (SELECT doc_id, CAST(i AS INT) AS i, sp[i] AS tok
+                   FROM l0 WHERE sp[i] <> ''),
+            tk AS (SELECT doc_id, tok,
+                          row_number() OVER (PARTITION BY doc_id
+                              ORDER BY i) - 1 AS p
+                   FROM t0),
+            asg AS (
+                SELECT doc_id, p, tok, p // 48 AS chunk_id FROM tk
+                UNION ALL
+                SELECT doc_id, p, tok, p // 48 - 1 FROM tk
+                WHERE p % 48 < 16 AND p >= 48)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   string_agg(tok, ' ' ORDER BY p) AS chunk_text
+            FROM asg GROUP BY 1, 2
         """,
         "q122_tfidf_keywords": """
             WITH toks AS (

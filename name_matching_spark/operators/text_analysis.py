@@ -33,6 +33,7 @@ __all__ = [
     "unigram_cross_entropy",
     "mixing_weights",
     "tfidf_keywords",
+    "chunk_documents",
     "pii_scrub",
     "PII_PATTERNS",
     "LANG_MARKERS",
@@ -683,4 +684,64 @@ def tfidf_keywords(
             F.col("df").cast("long").alias("df"),
             "score",
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the embedding-preparation step
+    of a RAG/retrieval pipeline: chunk k covers token positions
+    [k*stride, k*stride + chunk_tokens) of the whitespace token sequence,
+    so consecutive chunks overlap by ``chunk_tokens - stride`` tokens and
+    no boundary sentence is lost.
+
+    Requires ``stride <= chunk_tokens < 2*stride`` so every token belongs
+    to at most two chunks — each token then EMITS its one or two chunk ids
+    directly (k = p DIV stride, plus k-1 when p % stride < overlap), a
+    narrow map with no range join and no per-doc quadratic stage; chunk
+    reassembly is one (doc, chunk)-keyed aggregation with in-order
+    concat (the line-dedup convention).
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_text); documents shorter
+    than one chunk yield a single chunk 0.
+    """
+    if not stride <= chunk_tokens < 2 * stride:
+        raise ValueError("need stride <= chunk_tokens < 2*stride")
+    overlap = chunk_tokens - stride
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("p", "tok"),
+    )
+    k = F.expr(f"CAST(p DIV {stride} AS BIGINT)")
+    assigned = toks.select(
+        id_col,
+        "p",
+        "tok",
+        F.explode(
+            F.when(
+                (F.col("p") % stride < overlap) & (F.col("p") >= stride),
+                F.array(k - 1, k),
+            ).otherwise(F.array(k))
+        ).alias("chunk_id"),
+    )
+    return (
+        assigned.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select(id_col, "chunk_id", "n_tokens", "chunk_text")
     )

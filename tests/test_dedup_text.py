@@ -847,3 +847,30 @@ def test_tfidf_keywords_hand_computed(spark):
     assert abs(out[1][1][2] - math.log(1.5)) < 1e-12
     # doc 3: cherry beats common (0); tie on zero -> token asc
     assert [t for _, t, _ in out[3]][0] == "cherry"
+
+
+def test_chunk_documents_semantics(spark):
+    import pytest as _pytest
+
+    from name_matching_spark.operators.text_analysis import chunk_documents
+
+    words = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc")], ["doc_id", "text"]
+    )
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=64, stride=48).collect():
+        out[(r["doc_id"], r["chunk_id"])] = r
+    # doc 1: 100 tokens -> chunks 0 [0,64), 1 [48,100), 2 [96,100)
+    assert {c for (d, c) in out if d == 1} == {0, 1, 2}
+    assert out[(1, 0)]["n_tokens"] == 64
+    assert out[(1, 0)]["chunk_text"].split(" ") == words[:64]
+    assert out[(1, 1)]["n_tokens"] == 52
+    assert out[(1, 1)]["chunk_text"].split(" ") == words[48:100]
+    assert out[(1, 2)]["chunk_text"].split(" ") == words[96:100]
+    # overlap: tokens 48..63 appear in chunks 0 AND 1
+    assert "w50" in out[(1, 0)]["chunk_text"] and "w50" in out[(1, 1)]["chunk_text"]
+    # short doc: single chunk 0
+    assert out[(2, 0)]["chunk_text"] == "short doc"
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=100, stride=48)
