@@ -3279,6 +3279,52 @@ def q126_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=64, stride=48)
 
 
+def q127_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality census — the 'measure, don't guess' report for the
+    banded-MinHash dial: candidate count, exact-truth count (all-pairs
+    shingle Jaccard >= 0.5), captured count, and recall/precision ppm for
+    the q45 configuration (16 hashes x 4 bands). Bounded to
+    doc_id < 1000 on BOTH sides because the truth side is the
+    sum-of-df^2 exact form (the q18/q88 slice convention)."""
+    from name_matching_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 1000
+    )
+    truth = shingle_jaccard_pairs(docs, threshold=0.5, shingle_len=5).select(
+        "id1", "id2"
+    )
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_len=5).select(
+        "id1", "id2"
+    )
+    captured = truth.join(cand, ["id1", "id2"], "left_semi")
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    ncap = captured.agg(F.count(F.lit(1)).cast("long").alias("n_captured"))
+    return (
+        nd.crossJoin(nt)
+        .crossJoin(nc)
+        .crossJoin(ncap)
+        .select(
+            "n_docs",
+            "n_true",
+            "n_candidates",
+            "n_captured",
+            F.expr(
+                "CAST(n_captured * 1000000 DIV greatest(n_true, 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(n_captured * 1000000 DIV greatest(n_candidates, 1) "
+                "AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3423,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_cluster_medoids": q124_cluster_medoids,
         "q125_cluster_size_histogram": q125_cluster_size_histogram,
         "q126_chunk_documents": q126_chunk_documents,
+        "q127_lsh_quality": q127_lsh_quality,
     }
 
 
@@ -6378,6 +6425,41 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN top t USING (col_name)
             LEFT JOIN est e USING (col_name)
+        """,
+        "q127_lsh_quality": "WITH "
+        + _minhash_oracle_cte(16, " WHERE doc_id < 1000")
+        + """,
+            band AS (SELECT doc_id, CAST(h // 4 AS INT) AS band,
+                            string_agg(CAST(minhash AS VARCHAR), ','
+                                       ORDER BY h) AS band_sig
+                     FROM mh GROUP BY 1, 2),
+            cand AS MATERIALIZED (
+                SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                FROM band a
+                JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig
+                           AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            tint AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                     FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                        AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+            truth AS MATERIALIZED (
+                SELECT id1, id2 FROM tint
+                JOIN sizes s1 ON s1.doc_id = tint.id1
+                JOIN sizes s2 ON s2.doc_id = tint.id2
+                WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                   FROM documents WHERE doc_id < 1000),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+            nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+            ncap AS (SELECT CAST(count(*) AS BIGINT) AS n_captured
+                     FROM truth JOIN cand USING (id1, id2))
+            SELECT n_docs, n_true, n_candidates, n_captured,
+                   CAST(n_captured * 1000000 // greatest(n_true, 1)
+                        AS BIGINT) AS recall_ppm,
+                   CAST(n_captured * 1000000 // greatest(n_candidates, 1)
+                        AS BIGINT) AS precision_ppm
+            FROM nd, nt, nc, ncap
         """,
         "q126_chunk_documents": """
             WITH l0 AS (SELECT doc_id, sp,
