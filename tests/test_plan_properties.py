@@ -254,3 +254,45 @@ def test_triangle_count_no_cartesian(spark):
     plan = _formatted_plan(triangle_count(df))
     assert _node_count(plan, "CartesianProduct") == 0, plan
     assert _node_count(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_kmv_sketch_plan_no_window_no_cartesian(spark):
+    """The KMV sketch path must stay two aggregations (partition bottom-k +
+    merge): no Window over the value stream, no cartesian, and no
+    dropDuplicates-style global distinct of the values."""
+    from name_matching_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(50)], ["g", "v"]
+    )
+    plan = _formatted_plan(kmv_distinct(df, "g", "v", k=8, include_exact=False))
+    assert _node_count(plan, "Window") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_chunk_documents_plan_is_join_free(spark):
+    """Chunk assignment emits chunk ids per token directly — the plan must
+    contain no join at all (a range-join implementation would be per-doc
+    quadratic)."""
+    from name_matching_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = _formatted_plan(chunk_documents(df))
+    assert _node_count(plan, "SortMergeJoin") == 0, plan
+    assert _node_count(plan, "BroadcastHashJoin") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_plan_no_cartesian_and_checkpointed_adjacency(spark):
+    """PageRank's unrolled rounds must re-read the checkpointed adjacency
+    (ExistingRDD), not recompute the upstream edge plan per round — the
+    unchecked form re-entered a blocking self-join ~7x."""
+    from name_matching_spark.operators.clustering import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["id1", "id2"]
+    )
+    plan = _formatted_plan(pagerank(edges, iterations=3))
+    assert "CartesianProduct" not in plan, plan
+    # the adjacency is an ExistingRDD scan (checkpoint), present per round
+    assert _node_count(plan, "Scan ExistingRDD") >= 1, plan
