@@ -3325,6 +3325,18 @@ def q127_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q128_cluster_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS depth audit (``clustering.cluster_depths``, 4 rounds)
+    over the q108 meta-blocked graph: per node, the distance from its
+    cluster root — chain merges show up as depth >= 2, cliques sit at
+    depth 1, depth -1 flags nodes beyond the audit horizon. Same
+    record_id < 3000 slice as the rest of the graph family."""
+    from name_matching_spark.operators.clustering import cluster_depths
+
+    edges = q108_meta_blocking(spark, sf_dir).select("id1", "id2")
+    return cluster_depths(edges, rounds=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3470,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_cluster_size_histogram": q125_cluster_size_histogram,
         "q126_chunk_documents": q126_chunk_documents,
         "q127_lsh_quality": q127_lsh_quality,
+        "q128_cluster_depths": q128_cluster_depths,
     }
 
 
@@ -4561,7 +4574,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(s3.sup, 0) AS BIGINT) AS support
             FROM e3 LEFT JOIN s3 ON s3.u = e3.u AND s3.v = e3.v"""
 
+    # q128: recursive-CTE components (the q58 lbl pattern) + depth-bounded
+    # BFS from each cluster root over the q108 kept graph.
+    _depth_sql = (
+        _meta_kept_ctes.replace("WITH person", "WITH RECURSIVE person", 1)
+        + """,
+            nodes AS MATERIALIZED (
+                SELECT id1 AS n FROM kept UNION SELECT id2 FROM kept),
+            edges2 AS MATERIALIZED (
+                SELECT id1 AS a, id2 AS b FROM kept
+                UNION SELECT id2, id1 FROM kept),
+            lbl(node, root) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT e.b, l.root FROM lbl l JOIN edges2 e ON l.node = e.a),
+            comp AS MATERIALIZED (
+                SELECT node, min(root) AS cluster_id FROM lbl GROUP BY 1),
+            bfs(node, d) AS (
+                SELECT node, 0 FROM comp WHERE node = cluster_id
+                UNION
+                SELECT e.b, b.d + 1
+                FROM bfs b JOIN edges2 e ON b.node = e.a
+                WHERE b.d < 4),
+            dmin AS MATERIALIZED (
+                SELECT node, min(d) AS depth FROM bfs GROUP BY 1)
+            SELECT comp.node AS record_id, comp.cluster_id,
+                   CAST(coalesce(dmin.depth, -1) AS BIGINT) AS depth
+            FROM comp LEFT JOIN dmin USING (node)"""
+    )
+
     return {
+        "q128_cluster_depths": _depth_sql,
         "q121_k_truss": _truss_sql,
         "q119_one_to_one": _o2o_sql,
         "q117_pagerank": _pagerank_sql,

@@ -27,6 +27,7 @@ __all__ = [
     "clustering_coefficient",
     "pagerank",
     "k_truss",
+    "cluster_depths",
 ]
 
 
@@ -666,4 +667,76 @@ def k_truss(
         )
     return _support(e).select(
         F.col("u").alias(src), F.col("v").alias(dst), "support"
+    )
+
+
+def cluster_depths(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded BFS depth audit of entity clusters: distance of every node
+    from its cluster root (the component-minimum id) after a FIXED number
+    of label-propagation rounds. Deep clusters are chain merges (a-b,
+    b-c, ... linked without shortcuts); duplicate cliques sit at depth 1.
+    Complements the triangle/truss audits with the GLOBAL shape signal.
+
+    Per round, dist(v) = min(dist(v), min over neighbors(dist(u) + 1)) —
+    one edge-keyed join plus a map-side-combined min per round, O(edges)
+    per round. Nodes further than ``rounds`` hops from their root emit
+    depth = -1 ("unreached within the audit horizon") rather than looping
+    to a fixpoint — the bounded-rounds convention that keeps the operator
+    deterministic and SQL-unrollable.
+
+    Output: (record_id, cluster_id, depth).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).localCheckpoint(eager=False)
+    roots = connected_components(e.select(F.col("u").alias("id1"), F.col("v").alias("id2")))
+    # dist 0 at the root, unknown elsewhere
+    dist = roots.select(
+        F.col("record_id").alias("node"),
+        "cluster_id",
+        F.when(F.col("record_id") == F.col("cluster_id"), F.lit(0))
+        .cast("long")
+        .alias("d"),
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        relaxed = (
+            und.join(dist, und["s"] == dist["node"])
+            .filter(F.col("d").isNotNull())
+            .groupBy(F.col("t").alias("node"))
+            .agg((F.min("d") + 1).alias("_nd"))
+        )
+        dist = (
+            dist.join(relaxed, "node", "left")
+            .select(
+                "node",
+                "cluster_id",
+                F.least(
+                    F.coalesce("d", F.lit(2**62)),
+                    F.coalesce("_nd", F.lit(2**62)),
+                ).alias("_m"),
+            )
+            .select(
+                "node",
+                "cluster_id",
+                F.when(F.col("_m") < 2**62, F.col("_m")).alias("d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(
+        F.col("node").alias("record_id"),
+        "cluster_id",
+        F.coalesce("d", F.lit(-1)).cast("long").alias("depth"),
     )

@@ -419,3 +419,19 @@ def test_k_truss_cascading_peel(spark):
     out = {(r["id1"], r["id2"]): r["support"] for r in k_truss(edges).collect()}
     assert (7, 8) not in out and (1, 2) in out and (5, 6) in out
     assert out[(2, 3)] == 2  # shared diamond edge supports two triangles
+
+
+def test_cluster_depths_chain_and_clique(spark):
+    from name_matching_spark.operators.clustering import cluster_depths
+
+    # chain 1-2-3-4-5-6-7 (root 1, depths 0..6 -> -1 past 4 rounds)
+    # clique 10-11-12 (root 10, depths 0,1,1)
+    chain = [(i, i + 1) for i in range(1, 7)]
+    clique = [(10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(chain + clique, ["id1", "id2"])
+    out = {r["record_id"]: (r["cluster_id"], r["depth"])
+           for r in cluster_depths(df, rounds=4).collect()}
+    assert out[1] == (1, 0)
+    assert out[2] == (1, 1) and out[5] == (1, 4)
+    assert out[6] == (1, -1) and out[7] == (1, -1)  # beyond the horizon
+    assert out[10] == (10, 0) and out[11] == (10, 1) and out[12] == (10, 1)
