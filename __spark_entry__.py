@@ -3337,6 +3337,28 @@ def q128_cluster_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_depths(edges, rounds=4)
 
 
+def q129_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded manual-review queue: the operational step after the
+    reference's three-way classification — the top-200 manual_review
+    pairs ranked by score descending (closest to auto-match reviewed
+    first), ties by (id1, id2). Reuses the full q15 fuzzy pipeline; the
+    window runs over the manual-review band only, never the match
+    stream."""
+    scored = q15_match_scores(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), F.asc("id1"), F.asc("id2"))
+    return (
+        scored.filter(F.col("classification") == "manual_review")
+        .withColumn("priority", F.row_number().over(w))
+        .filter(F.col("priority") <= 200)
+        .select(
+            F.col("priority").cast("long").alias("priority"),
+            "id1",
+            "id2",
+            "score",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3483,6 +3505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_chunk_documents": q126_chunk_documents,
         "q127_lsh_quality": q127_lsh_quality,
         "q128_cluster_depths": q128_cluster_depths,
+        "q129_review_queue": q129_review_queue,
     }
 
 
@@ -4603,7 +4626,19 @@ def oracle_sql() -> dict[str, str]:
             FROM comp LEFT JOIN dmin USING (node)"""
     )
 
+    # q129: the q15 oracle nested whole (the q100 convention), filtered to
+    # the manual-review band and ranked into a bounded queue.
+    _review_sql = f"""WITH RECURSIVE sc AS ({_q15_oracle()}),
+            mr AS (SELECT id1, id2, score FROM sc
+                   WHERE classification = 'manual_review'),
+            r AS (SELECT *, row_number() OVER (ORDER BY score DESC,
+                          id1 ASC, id2 ASC) AS priority
+                  FROM mr)
+            SELECT CAST(priority AS BIGINT) AS priority, id1, id2, score
+            FROM r WHERE priority <= 200"""
+
     return {
+        "q129_review_queue": _review_sql,
         "q128_cluster_depths": _depth_sql,
         "q121_k_truss": _truss_sql,
         "q119_one_to_one": _o2o_sql,
