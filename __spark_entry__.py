@@ -3359,6 +3359,37 @@ def q129_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q130_confusables_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph-folding dedup recovery
+    (``text_analysis.fold_confusables``): Cyrillic look-alikes are
+    injected into every 7th document (the dirty-derivation convention),
+    defeating md5 content dedup; the fold must make every injected doc
+    hash-equal to its original again. Emits per doc the injected flag,
+    whether the fold changed the text, and whether the original content
+    hash was recovered."""
+    from name_matching_spark.operators.text_analysis import fold_confusables
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dirty = docs.select(
+        "doc_id",
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.translate(F.col("text"), "aeo", "аео"),
+        )
+        .otherwise(F.col("text"))
+        .alias("evaded"),
+    )
+    folded = dirty.withColumn("folded", fold_confusables(F.col("evaded")))
+    return folded.select(
+        "doc_id",
+        (F.col("doc_id") % 7 == 0).cast("int").alias("injected"),
+        (F.col("evaded") != F.col("text")).cast("int").alias("evasion_changed"),
+        (F.md5("folded") == F.md5("text")).cast("int").alias("recovered"),
+        F.md5("folded").alias("folded_md5"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3506,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_lsh_quality": q127_lsh_quality,
         "q128_cluster_depths": q128_cluster_depths,
         "q129_review_queue": q129_review_queue,
+        "q130_confusables_fold": q130_confusables_fold,
     }
 
 
@@ -4410,6 +4442,10 @@ _Q74_ORACLE_CHAIN = _PERSON_CTE + f""",
 
 def oracle_sql() -> dict[str, str]:
     from name_matching_spark.functions.phonetic import metaphone_sql as _metaphone_sql
+    from name_matching_spark.operators.text_analysis import (
+        CONFUSABLES_FROM,
+        CONFUSABLES_TO,
+    )
 
     # Shared by q45 (pair emission) and q58 (transitive clustering over the
     # same pairs): banded MinHash candidates -> exact shingle-Jaccard rerank.
@@ -4637,7 +4673,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(priority AS BIGINT) AS priority, id1, id2, score
             FROM r WHERE priority <= 200"""
 
+    # q130: the same injection + fold, constants shared with the Spark op.
+    _confusables_sql = f"""
+            WITH dirty AS (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN translate(text, 'aeo', 'аео')
+                            ELSE text END AS evaded
+                FROM documents),
+            f AS (SELECT *, translate(evaded, '{CONFUSABLES_FROM}',
+                                      '{CONFUSABLES_TO}') AS folded
+                  FROM dirty)
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT)
+                       AS injected,
+                   CAST(CASE WHEN evaded <> text THEN 1 ELSE 0 END AS INT)
+                       AS evasion_changed,
+                   CAST(CASE WHEN md5(folded) = md5(text) THEN 1 ELSE 0 END
+                        AS INT) AS recovered,
+                   md5(folded) AS folded_md5
+            FROM f"""
+
     return {
+        "q130_confusables_fold": _confusables_sql,
         "q129_review_queue": _review_sql,
         "q128_cluster_depths": _depth_sql,
         "q121_k_truss": _truss_sql,

@@ -34,6 +34,9 @@ __all__ = [
     "mixing_weights",
     "tfidf_keywords",
     "chunk_documents",
+    "fold_confusables",
+    "CONFUSABLES_FROM",
+    "CONFUSABLES_TO",
     "pii_scrub",
     "PII_PATTERNS",
     "LANG_MARKERS",
@@ -745,3 +748,20 @@ def chunk_documents(
         )
         .select(id_col, "chunk_id", "n_tokens", "chunk_text")
     )
+
+# Unicode confusables (homoglyphs) that survive NFKC — the dedup-evasion
+# characters a normalization pass must fold BEFORE hashing: Cyrillic and
+# Greek look-alikes of Latin letters. NFKC (batch_standardize) handles
+# fullwidth/compatibility forms; it does NOT fold these.
+CONFUSABLES_FROM = "\u0430\u0435\u043e\u0440\u0441\u0445\u0443\u0391\u0392\u0395\u039f\u03bf"
+CONFUSABLES_TO = "aeopcxyABEOo"
+
+
+def fold_confusables(col: Column) -> Column:
+    """Fold common Cyrillic/Greek homoglyphs onto their Latin look-alikes
+    (codepoint-for-codepoint ``translate`` — identical semantics in Spark
+    and DuckDB). Run after NFKC standardization and before any
+    content-hash dedup: a single swapped а/a defeats md5 dedup while being
+    invisible to a reader."""
+    return F.translate(col, CONFUSABLES_FROM, CONFUSABLES_TO)
+

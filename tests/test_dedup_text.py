@@ -874,3 +874,25 @@ def test_chunk_documents_semantics(spark):
     assert out[(2, 0)]["chunk_text"] == "short doc"
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=100, stride=48)
+
+
+def test_fold_confusables_recovers_hash(spark):
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.operators.text_analysis import fold_confusables
+
+    df = spark.createDataFrame(
+        [
+            (1, "hеllo wоrld"),   # Cyrillic е, о
+            (2, "hello world"),
+            (3, "Αpple"),               # Greek Alpha
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", fold_confusables(F.col("text")).alias("f")).collect()
+    }
+    assert out[1] == "hello world"
+    assert out[2] == "hello world"
+    assert out[3] == "Apple"
