@@ -3390,6 +3390,30 @@ def q130_confusables_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q131_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew cost report (``blocking.salting_plan``, cap = 20) over the
+    phonetic block census: per block its raw pair count, the sub-block
+    fan-out the salting rule implies, exactly-once task count, and the
+    balanced-split bound on pairs per task — the audit that quantifies
+    the curse-of-the-last-reducer fix. Cap 20 (not the production 1000)
+    so hot blocks exist at every SF."""
+    from name_matching_spark.operators.blocking import (
+        blocking_key_column,
+        salting_plan,
+    )
+    from name_matching_spark.operators.normalize import (
+        LinkageSchema,
+        normalize_records,
+    )
+
+    person = _person_df(spark, sf_dir)
+    norm = normalize_records(person, LinkageSchema(id_col="record_id", geo_fields=[]))
+    keyed = norm.select(
+        "record_id", blocking_key_column("phonetic").alias("block_key")
+    )
+    return salting_plan(keyed, cap=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3538,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_cluster_depths": q128_cluster_depths,
         "q129_review_queue": q129_review_queue,
         "q130_confusables_fold": q130_confusables_fold,
+        "q131_salting_plan": q131_salting_plan,
     }
 
 
@@ -5232,6 +5257,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    array_to_string(list_sort(string_split(lower(p_name), ' ')), ' ') AS sorted_name
             FROM part
+        """,
+        "q131_salting_plan": _PERSON_CTE + f""",
+            keyed AS (SELECT record_id,
+                upper(substr(first_name, 1, 1)) || '|' || {_sdx_sql(_ORACLE_LAST)} AS block_key
+                FROM person),
+            census AS (SELECT block_key, count(*) AS n
+                       FROM keyed GROUP BY 1),
+            c AS (SELECT block_key, n, (n + 19) // 20 AS nsub
+                  FROM census WHERE n >= 2)
+            SELECT block_key,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(n * (n - 1) // 2 AS BIGINT) AS total_pairs,
+                   CAST(nsub AS BIGINT) AS nsub,
+                   CAST(nsub * (nsub + 1) // 2 AS BIGINT) AS n_tasks,
+                   CAST(((n + nsub - 1) // nsub) * ((n + nsub - 1) // nsub)
+                        AS BIGINT) AS max_task_pairs_bound,
+                   CAST(CASE WHEN n > 20 THEN 1 ELSE 0 END AS INT) AS salted
+            FROM c
         """,
         "q14_blocking_pairs": _PERSON_CTE + f""",
             keyed AS (SELECT record_id,

@@ -36,6 +36,7 @@ __all__ = [
     "sorted_neighborhood_pairs",
     "symspell_delete1_pairs",
     "symspell_delete_pairs",
+    "salting_plan",
     "meta_blocking_wnp",
 ]
 
@@ -540,4 +541,46 @@ def symspell_delete_pairs(
         .filter(F.col("a.word") < F.col("b.word"))
         .select(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
         .distinct()
+    )
+
+
+def salting_plan(
+    df: DataFrame,
+    key_col: str = "block_key",
+    cap: int = 1000,
+) -> DataFrame:
+    """Skew cost report for the salted self-join: per block, the pair
+    count the block would generate, the sub-block fan-out the salting cap
+    implies (``nsub = ceil(n / cap)``, the :func:`_with_salt` rule), the
+    number of exactly-once sub-block pair tasks, and an upper bound on
+    pairs per task under a balanced split (hash salting approaches it in
+    expectation). This is the audit that shows WHY a hot block stops
+    being the curse-of-the-last-reducer: max_task_pairs is ~cap^2 instead
+    of n^2.
+
+    Pure integer arithmetic over the (blocks-sized) census — one
+    map-side-combined groupBy, no pair materialization. Blocks with a
+    single record emit no row.
+    """
+    census = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return census.select(
+        key_col,
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").alias("total_pairs"),
+        F.expr(f"CAST((n + {cap} - 1) DIV {cap} AS BIGINT)").alias("nsub"),
+        F.expr(
+            f"CAST(((n + {cap} - 1) DIV {cap})"
+            f" * ((n + {cap} - 1) DIV {cap} + 1) DIV 2 AS BIGINT)"
+        ).alias("n_tasks"),
+        F.expr(
+            f"CAST(((n + ((n + {cap} - 1) DIV {cap}) - 1)"
+            f" DIV ((n + {cap} - 1) DIV {cap}))"
+            f" * ((n + ((n + {cap} - 1) DIV {cap}) - 1)"
+            f" DIV ((n + {cap} - 1) DIV {cap})) AS BIGINT)"
+        ).alias("max_task_pairs_bound"),
+        (F.col("n") > cap).cast("int").alias("salted"),
     )
