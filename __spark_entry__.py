@@ -3414,6 +3414,21 @@ def q131_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salting_plan(keyed, cap=20)
 
 
+def q132_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (``sketches.weighted_sample``, Efraimidis-Spirakis): draw 100
+    documents with probability proportional to token count — the
+    operational counterpart of q116's mixing weights, reproducible from
+    the seed in both engines."""
+    from name_matching_spark.operators.sketches import weighted_sample
+    from name_matching_spark.operators.text_analysis import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return weighted_sample(docs, "n_tokens", k=100, id_col="doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3563,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_review_queue": q129_review_queue,
         "q130_confusables_fold": q130_confusables_fold,
         "q131_salting_plan": q131_salting_plan,
+        "q132_weighted_sample": q132_weighted_sample,
     }
 
 
@@ -5257,6 +5273,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    array_to_string(list_sort(string_split(lower(p_name), ' ')), ' ') AS sorted_name
             FROM part
+        """,
+        "q132_weighted_sample": """
+            WITH wdocs AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents),
+            keyed AS (
+                SELECT doc_id,
+                       CAST(n_tokens AS BIGINT) AS weight,
+                       ln((CAST(('0x' || substr(md5('es|' ||
+                                CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                                AS DOUBLE) + 1.0)
+                          / CAST(72057594037927936 AS DOUBLE))
+                           / CAST(n_tokens AS DOUBLE) AS sample_key
+                FROM wdocs WHERE n_tokens > 0),
+            r AS (SELECT *, row_number() OVER (ORDER BY sample_key DESC,
+                          doc_id ASC) AS rank
+                  FROM keyed)
+            SELECT CAST(rank AS BIGINT) AS rank, doc_id, weight, sample_key
+            FROM r WHERE rank <= 100
         """,
         "q131_salting_plan": _PERSON_CTE + f""",
             keyed AS (SELECT record_id,

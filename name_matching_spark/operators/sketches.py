@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "KMV_HASH_HEX", "KMV_HASH_SPACE"]
+__all__ = ["kmv_distinct", "weighted_sample", "KMV_HASH_HEX", "KMV_HASH_SPACE"]
 
 KMV_HASH_HEX = 14  # 56-bit hashes: (k-1) * 2^56 stays inside BIGINT for k <= 127
 KMV_HASH_SPACE = 1 << (4 * KMV_HASH_HEX)
@@ -102,4 +102,57 @@ def kmv_distinct(
             "CAST((est_distinct - n_distinct_exact) * 1000000 "
             "DIV greatest(n_distinct_exact, 1) AS BIGINT)"
         ),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "es",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES, 2006): each row gets key = ln(u) / w with
+    u = (h + 1) / 2^56 derived from a 56-bit md5 hash of (seed, id), and
+    the k largest keys are the sample — inclusion probability is
+    proportional to weight, the sample is reproducible from the seed, and
+    both engines compute the identical IEEE expression. This is the
+    operational form of the q116 mixing weights: actually DRAWING the
+    rebalanced corpus instead of just reporting shares.
+
+    Zero-weight rows are excluded (their inclusion probability is 0; this
+    also keeps ln defined). Shape: one narrow hash projection, then a
+    global top-k. The single-partition window is the rank's only global
+    stage; at 100 TB, pre-filter with a per-partition top-k first
+    (bottom-k of -key per partition, the KMV merge shape) so the global
+    window sees O(k x partitions) rows, not the corpus.
+
+    Output: (rank, id, weight, sample_key), rank 1 = largest key.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))),
+            1,
+            KMV_HASH_HEX,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(KMV_HASH_SPACE))
+    keyed = (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            (F.log(u) / F.col(weight_col).cast("double")).alias("sample_key"),
+        )
+    )
+    w = Window.orderBy(F.desc("sample_key"), F.asc(id_col))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("rank").cast("long").alias("rank"), id_col, "weight", "sample_key")
     )

@@ -112,3 +112,44 @@ def test_cluster_medoids_hand_computed(spark):
     assert out[20]["medoid_id"] == 9 and out[20]["n_members"] == 1
     assert abs(out[20]["medoid_cos"] - 1.0) < 1e-9
     assert 0.99 < out[10]["medoid_cos"] <= 1.0 + 1e-12
+
+
+def test_weighted_sample_properties(spark):
+    import hashlib
+    import math
+
+    from name_matching_spark.operators.sketches import (
+        KMV_HASH_HEX,
+        KMV_HASH_SPACE,
+        weighted_sample,
+    )
+
+    rows = [(i, (i % 10) + 1) for i in range(200)] + [(999, 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_sample(df, "w", k=20, id_col="doc_id").collect()
+    assert len(out) == 20
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
+        range(1, 21)
+    )
+    # zero-weight row never sampled
+    assert all(r["doc_id"] != 999 for r in out)
+
+    # keys match the reference formula exactly
+    def key(i, w):
+        h = int(hashlib.md5(f"es|{i}".encode()).hexdigest()[:KMV_HASH_HEX], 16)
+        return math.log((h + 1.0) / KMV_HASH_SPACE) / w
+
+    expect = sorted(
+        ((key(i, w), i, w) for i, w in rows if w > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = sorted(out, key=lambda r: r["rank"])
+    for (ek, ei, ew), r in zip(expect, got):
+        assert r["doc_id"] == ei and r["weight"] == ew
+        assert abs(r["sample_key"] - ek) < 1e-12
+
+    # determinism: same seed -> same sample; different seed -> different
+    again = weighted_sample(df, "w", k=20, id_col="doc_id").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = weighted_sample(df, "w", k=20, id_col="doc_id", seed="es2").collect()
+    assert {r["doc_id"] for r in other} != {r["doc_id"] for r in out}
