@@ -3429,6 +3429,45 @@ def q132_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "n_tokens", k=100, id_col="doc_id")
 
 
+def q133_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retransmission debounce over the event stream: an event is a
+    duplicate when an identical (user, type, value) event occurred within
+    the previous 5 seconds — the at-least-once-delivery cleanup every
+    event pipeline runs before aggregation. Retransmissions are injected
+    deterministically (every 13th event re-sent +3 s — must flag; every
+    17th re-sent +30 s — must NOT flag), the dirty-derivation
+    convention. One lag window per identity key; emits the gap for audit
+    (NULL on each group's first event)."""
+    w = Window.partitionBy("user_id", "event_type", "value").orderBy(
+        "ts", "event_id"
+    )
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    re3 = base.filter(F.col("event_id") % 13 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        F.expr("ts + INTERVAL 3 SECOND").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    re30 = base.filter(F.col("event_id") % 17 == 0).select(
+        (F.col("event_id") + 20_000_000).alias("event_id"),
+        F.expr("ts + INTERVAL 30 SECOND").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ev = base.unionByName(re3).unionByName(re30)
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    gap = us - F.lag(us).over(w)
+    return ev.select(
+        "event_id",
+        gap.cast("long").alias("gap_us"),
+        F.coalesce(gap <= 5_000_000, F.lit(False)).cast("int").alias("is_dup"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3579,6 +3618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_confusables_fold": q130_confusables_fold,
         "q131_salting_plan": q131_salting_plan,
         "q132_weighted_sample": q132_weighted_sample,
+        "q133_event_debounce": q133_event_debounce,
     }
 
 
@@ -5273,6 +5313,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    array_to_string(list_sort(string_split(lower(p_name), ' ')), ' ') AS sorted_name
             FROM part
+        """,
+        "q133_event_debounce": """
+            WITH ev AS (
+                SELECT event_id, ts, user_id, event_type, value FROM events
+                UNION ALL
+                SELECT event_id + 10000000, ts + INTERVAL 3 SECOND,
+                       user_id, event_type, value
+                FROM events WHERE event_id % 13 = 0
+                UNION ALL
+                SELECT event_id + 20000000, ts + INTERVAL 30 SECOND,
+                       user_id, event_type, value
+                FROM events WHERE event_id % 17 = 0),
+            g AS (
+                SELECT event_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type, value
+                           ORDER BY ts, event_id) AS gap_us
+                FROM ev)
+            SELECT event_id,
+                   CAST(gap_us AS BIGINT) AS gap_us,
+                   CAST(CASE WHEN gap_us <= 5000000 THEN 1 ELSE 0 END AS INT)
+                       AS is_dup
+            FROM g
         """,
         "q132_weighted_sample": """
             WITH wdocs AS (
