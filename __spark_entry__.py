@@ -3468,6 +3468,22 @@ def q133_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q134_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch algebra (``sketches.kmv_pairwise_overlap``): pairwise
+    union / intersection / Jaccard estimates of the per-source 8-char
+    shingle vocabularies from the bottom-64 sketches alone — the
+    cross-domain affinity report without ever joining value streams
+    (q115's sketches, composed)."""
+    from name_matching_spark.operators.dedup import _shingle_array
+    from name_matching_spark.operators.sketches import kmv_pairwise_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "source", F.explode(_shingle_array("text", 8)).alias("shingle")
+    )
+    return kmv_pairwise_overlap(sh, "source", "shingle", k=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3619,6 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_salting_plan": q131_salting_plan,
         "q132_weighted_sample": q132_weighted_sample,
         "q133_event_debounce": q133_event_debounce,
+        "q134_kmv_overlap": q134_kmv_overlap,
     }
 
 
@@ -5313,6 +5330,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    array_to_string(list_sort(string_split(lower(p_name), ' ')), ' ') AS sorted_name
             FROM part
+        """,
+        "q134_kmv_overlap": """
+            WITH d AS (SELECT source,
+                              lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+                       FROM documents),
+            shv AS (SELECT source,
+                           substr(n, unnest(range(1, greatest(length(n) - 7, 1) + 1)), 8) AS v
+                    FROM d),
+            h AS (SELECT DISTINCT source,
+                         ('0x' || substr(md5(v), 1, 14))::BIGINT AS hh
+                  FROM shv),
+            r AS (SELECT source, hh,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY hh) AS rn
+                  FROM h),
+            sk AS MATERIALIZED (SELECT source, hh FROM r WHERE rn <= 64),
+            est AS MATERIALIZED (
+                SELECT source, count(*) AS ns,
+                       CAST(CASE WHEN count(*) < 64 THEN count(*)
+                                 ELSE 4539628424389459968
+                                      // greatest(max(hh), 1)
+                            END AS BIGINT) AS est_g
+                FROM sk GROUP BY 1),
+            prs AS (SELECT a.source AS s1, b.source AS s2
+                    FROM est a JOIN est b ON a.source < b.source),
+            uu AS (SELECT DISTINCT p.s1, p.s2, sk.hh
+                   FROM prs p JOIN sk ON sk.source = p.s1
+                                      OR sk.source = p.s2),
+            ur AS (SELECT s1, s2, hh,
+                          row_number() OVER (PARTITION BY s1, s2
+                              ORDER BY hh) AS rn
+                   FROM uu),
+            uest AS (SELECT s1, s2,
+                            CAST(CASE WHEN count(*) < 64 THEN count(*)
+                                      ELSE 4539628424389459968
+                                           // greatest(max(hh), 1)
+                                 END AS BIGINT) AS est_union
+                     FROM ur WHERE rn <= 64 GROUP BY 1, 2)
+            SELECT p.s1 AS g1, p.s2 AS g2,
+                   a.est_g AS est_1, b.est_g AS est_2, u.est_union,
+                   CAST(greatest(a.est_g + b.est_g - u.est_union, 0)
+                        AS BIGINT) AS est_intersection,
+                   CAST(greatest(a.est_g + b.est_g - u.est_union, 0)
+                        * 1000000 // greatest(u.est_union, 1) AS BIGINT)
+                       AS jaccard_est_ppm
+            FROM prs p
+            JOIN est a ON a.source = p.s1
+            JOIN est b ON b.source = p.s2
+            JOIN uest u ON u.s1 = p.s1 AND u.s2 = p.s2
         """,
         "q133_event_debounce": """
             WITH ev AS (

@@ -15,10 +15,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "weighted_sample", "KMV_HASH_HEX", "KMV_HASH_SPACE"]
+__all__ = ["kmv_distinct", "kmv_pairwise_overlap", "weighted_sample", "KMV_HASH_HEX", "KMV_HASH_SPACE"]
 
 KMV_HASH_HEX = 14  # 56-bit hashes: (k-1) * 2^56 stays inside BIGINT for k <= 127
 KMV_HASH_SPACE = 1 << (4 * KMV_HASH_HEX)
+
+
+def _kmv_sketches(
+    df: DataFrame, group_col: str, value_col: str, k: int
+) -> DataFrame:
+    """Per-group bottom-k hash sketch ``(group, _bk array<bigint>)`` via the
+    two-phase merge (see :func:`kmv_distinct`)."""
+    if not 2 <= k <= 127:
+        raise ValueError("k must be in [2, 127] (56-bit estimator bound)")
+    hashed = df.select(
+        F.col(group_col),
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, KMV_HASH_HEX),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("_h"),
+    )
+    part = hashed.groupBy(group_col, F.spark_partition_id().alias("_p")).agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_bk")
+    )
+    return part.groupBy(group_col).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_bk")))),
+            1,
+            k,
+        ).alias("_bk")
+    )
 
 
 def kmv_distinct(
@@ -52,28 +81,7 @@ def kmv_distinct(
     Output: (group, n_sketch, kth_min_hash, est_distinct [, n_distinct_exact,
     err_ppm]).
     """
-    if not 2 <= k <= 127:
-        raise ValueError("k must be in [2, 127] (56-bit estimator bound)")
-    hashed = df.select(
-        F.col(group_col),
-        F.conv(
-            F.substring(F.md5(F.col(value_col).cast("string")), 1, KMV_HASH_HEX),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("_h"),
-    )
-    part = hashed.groupBy(group_col, F.spark_partition_id().alias("_p")).agg(
-        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_bk")
-    )
-    merged = part.groupBy(group_col).agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_bk")))),
-            1,
-            k,
-        ).alias("_bk")
-    )
+    merged = _kmv_sketches(df, group_col, value_col, k)
     n_sketch = F.size("_bk")
     kth = F.element_at("_bk", k)
     out = merged.select(
@@ -155,4 +163,80 @@ def weighted_sample(
         keyed.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("rank").cast("long").alias("rank"), id_col, "weight", "sample_key")
+    )
+
+
+def kmv_pairwise_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Sketch ALGEBRA: pairwise domain-overlap estimates from the bottom-k
+    sketches alone — union distinct (bottom-k of the merged sketch is the
+    union's bottom-k, the KMV closure property), intersection by
+    inclusion-exclusion (floored at 0), and a Jaccard estimate in exact
+    ppm. The cross-domain contamination/affinity report a corpus pipeline
+    wants for every (source, source) pair WITHOUT ever joining the value
+    streams: after the one sketch pass, each pair costs O(k).
+
+    Output per unordered group pair: (g1, g2, est_1, est_2, est_union,
+    est_intersection, jaccard_est_ppm). Estimates are the q115 integer
+    form, so the whole report is engine-exact.
+    """
+    sk = _kmv_sketches(df, group_col, value_col, k)
+    scale = (k - 1) * KMV_HASH_SPACE  # fits BIGINT for k <= 127
+
+    def _est(name: str):
+        n = F.size(F.col(name))
+        return F.when(n < k, n.cast("long")).otherwise(
+            F.expr(
+                f"CAST({scale} DIV greatest(element_at({name}, {k}), 1) "
+                f"AS BIGINT)"
+            )
+        )
+
+    a = sk.select(
+        F.col(group_col).alias("g1"), F.col("_bk").alias("_bk1")
+    )
+    b = sk.select(
+        F.col(group_col).alias("g2"), F.col("_bk").alias("_bk2")
+    )
+    pairs = a.join(b, F.col("g1") < F.col("g2"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("_bk1"), F.col("_bk2")))),
+        1,
+        k,
+    )
+    out = pairs.select(
+        "g1",
+        "g2",
+        F.col("_bk1").alias("_a"),
+        F.col("_bk2").alias("_b"),
+        merged.alias("_u"),
+    )
+    est1 = _est("_a")
+    est2 = _est("_b")
+    estu = _est("_u")
+    return (
+        out.select(
+            "g1",
+            "g2",
+            est1.alias("est_1"),
+            est2.alias("est_2"),
+            estu.alias("est_union"),
+        )
+        .withColumn(
+            "est_intersection",
+            F.greatest(
+                F.col("est_1") + F.col("est_2") - F.col("est_union"), F.lit(0)
+            ).cast("long"),
+        )
+        .withColumn(
+            "jaccard_est_ppm",
+            F.expr(
+                "CAST(est_intersection * 1000000 DIV greatest(est_union, 1) "
+                "AS BIGINT)"
+            ),
+        )
     )

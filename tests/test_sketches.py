@@ -153,3 +153,24 @@ def test_weighted_sample_properties(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
     other = weighted_sample(df, "w", k=20, id_col="doc_id", seed="es2").collect()
     assert {r["doc_id"] for r in other} != {r["doc_id"] for r in out}
+
+
+def test_kmv_pairwise_overlap_identical_and_disjoint(spark):
+    from name_matching_spark.operators.sketches import kmv_pairwise_overlap
+
+    rows = (
+        [("a", f"v{i}") for i in range(300)]
+        + [("b", f"v{i}") for i in range(300)]      # identical to a
+        + [("c", f"w{i}") for i in range(300)]      # disjoint
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {(r["g1"], r["g2"]): r for r in
+           kmv_pairwise_overlap(df, "g", "v", k=32).collect()}
+    ab = out[("a", "b")]
+    # identical sets: union estimate == per-set estimate, Jaccard ~ 1
+    assert ab["est_union"] == ab["est_1"] == ab["est_2"]
+    assert ab["jaccard_est_ppm"] == 1_000_000
+    ac = out[("a", "c")]
+    # disjoint sets: intersection estimate small, Jaccard near 0
+    assert ac["jaccard_est_ppm"] < 300_000
+    assert ac["est_union"] > max(ac["est_1"], ac["est_2"])
