@@ -3484,6 +3484,65 @@ def q134_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_pairwise_overlap(sh, "source", "shingle", k=64)
 
 
+def q135_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier report: group moments from explicit
+    (sum, sum-of-squares, n) — the SAME expression both engines compute,
+    instead of builtin stddev whose accumulation differs — then z per
+    event and a |z| > 3 flag. The anomaly screen an event pipeline runs
+    before aggregation trusts the values."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("value").alias("_s"),
+        F.sum(F.col("value") * F.col("value")).alias("_s2"),
+    )
+    var = (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("_n")) / (
+        F.col("_n") - 1
+    )
+    z = (F.col("value") - F.col("_s") / F.col("_n")) / F.sqrt(var)
+    return ev.join(mom, "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        z.alias("z_score"),
+        (F.abs(z) > 3.0).cast("int").alias("is_outlier"),
+    )
+
+
+def q136_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users bucketed by first-seen epoch
+    week, activity per (cohort week, week offset), retained share as
+    exact ppm of the cohort size — the standard cohort report, epoch
+    arithmetic only (no calendar functions, so both engines bucket
+    identically)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000 AS BIGINT)"
+        ).alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return active.join(cohort_sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.expr("CAST(n_active * 1000000 DIV cohort_size AS BIGINT)").alias(
+            "retained_ppm"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3636,6 +3695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_weighted_sample": q132_weighted_sample,
         "q133_event_debounce": q133_event_debounce,
         "q134_kmv_overlap": q134_kmv_overlap,
+        "q135_value_outliers": q135_value_outliers,
+        "q136_retention_cohorts": q136_retention_cohorts,
     }
 
 
@@ -5330,6 +5391,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    array_to_string(list_sort(string_split(lower(p_name), ' ')), ' ') AS sorted_name
             FROM part
+        """,
+        "q135_value_outliers": """
+            WITH mom AS (
+                SELECT event_type, count(*) AS n, sum(value) AS s,
+                       sum(value * value) AS s2
+                FROM events GROUP BY 1)
+            SELECT e.event_id, e.event_type, e.value,
+                   (e.value - m.s / m.n)
+                       / sqrt((m.s2 - m.s * m.s / m.n) / (m.n - 1)) AS z_score,
+                   CAST(CASE WHEN abs((e.value - m.s / m.n)
+                             / sqrt((m.s2 - m.s * m.s / m.n) / (m.n - 1))) > 3.0
+                             THEN 1 ELSE 0 END AS INT) AS is_outlier
+            FROM events e JOIN mom m USING (event_type)
+        """,
+        "q136_retention_cohorts": """
+            WITH ev AS (
+                SELECT user_id,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events),
+            first AS (SELECT user_id, min(week) AS cohort_week
+                      FROM ev GROUP BY 1),
+            cs AS (SELECT cohort_week, count(*) AS cohort_size
+                   FROM first GROUP BY 1),
+            act AS (SELECT cohort_week, week_offset, count(*) AS n_active
+                    FROM (SELECT DISTINCT ev.user_id, f.cohort_week,
+                                 ev.week - f.cohort_week AS week_offset
+                          FROM ev JOIN first f USING (user_id))
+                    GROUP BY 1, 2)
+            SELECT act.cohort_week, act.week_offset,
+                   CAST(act.n_active AS BIGINT) AS n_active,
+                   CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+                   CAST(act.n_active * 1000000 // cs.cohort_size AS BIGINT)
+                       AS retained_ppm
+            FROM act JOIN cs USING (cohort_week)
         """,
         "q134_kmv_overlap": """
             WITH d AS (SELECT source,
