@@ -3543,6 +3543,17 @@ def q136_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q137_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite keep/drop verdict
+    (``text_analysis.quality_filter``): five integer cross-multiplied
+    rules, first-failure reason per document — the filtering DECISION a
+    curation pipeline applies after q21's feature report."""
+    from name_matching_spark.operators.text_analysis import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_filter(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3697,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_kmv_overlap": q134_kmv_overlap,
         "q135_value_outliers": q135_value_outliers,
         "q136_retention_cohorts": q136_retention_cohorts,
+        "q137_quality_filter": q137_quality_filter,
     }
 
 
@@ -5391,6 +5403,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    array_to_string(list_sort(string_split(lower(p_name), ' ')), ' ') AS sorted_name
             FROM part
+        """,
+        "q137_quality_filter": """
+            WITH f AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens,
+                       length(text) - length(regexp_replace(text,
+                           '[^\\w\\s]', '', 'g')) AS n_punct,
+                       length(text) - length(regexp_replace(text,
+                           '[0-9]', '', 'g')) AS n_digit,
+                       len(list_filter(string_split_regex(lower(trim(text)),
+                               '\\s+'),
+                           x -> x IN ('the','a','an','and','or','of','to',
+                                      'in','is'))) AS n_stop
+                FROM documents),
+            v AS (SELECT doc_id, n_tokens,
+                         CASE
+                           WHEN n_tokens < 5 OR n_tokens > 10000
+                                THEN 'token_count'
+                           WHEN (n_chars - (n_tokens - 1)) < 2 * n_tokens
+                             OR (n_chars - (n_tokens - 1)) > 12 * n_tokens
+                                THEN 'mean_token_length'
+                           WHEN n_punct * 5 > n_chars THEN 'punctuation'
+                           WHEN n_digit * 5 > n_chars THEN 'digits'
+                           WHEN n_stop * 50 < n_tokens THEN 'stopwords'
+                           ELSE 'keep' END AS verdict
+                  FROM f)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, verdict,
+                   CAST(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END AS INT)
+                       AS kept
+            FROM v
         """,
         "q135_value_outliers": """
             WITH mom AS (

@@ -23,6 +23,7 @@ __all__ = [
     "token_count",
     "bpe_ish_token_stats",
     "quality_features",
+    "quality_filter",
     "language_id",
     "fingerprint",
     "bm25_scores",
@@ -765,3 +766,54 @@ def fold_confusables(col: Column) -> Column:
     invisible to a reader."""
     return F.translate(col, CONFUSABLES_FROM, CONFUSABLES_TO)
 
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style composite KEEP/DROP verdict — the actual filtering
+    decision on top of :func:`quality_features`, with every rule stated as
+    an INTEGER cross-multiplication so no float threshold can diverge
+    between engines:
+
+      R1 token count in [5, 10000]
+      R2 mean token length in [2, 12]   (chars-minus-gaps vs 2n..12n)
+      R3 punctuation <= 20% of chars    (n_punct * 5 <= n_chars)
+      R4 digits <= 20% of chars         (n_digit * 5 <= n_chars)
+      R5 stopwords >= 2% of tokens      (n_stop * 50 >= n_tokens)
+
+    Verdict = the FIRST failing rule's name ('keep' if none) — ordered
+    evaluation, so the report doubles as a drop-reason census. One narrow
+    map, no shuffle.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(t)), r"\s+"),
+            lambda w: _is_any(
+                w, ["the", "a", "an", "and", "or", "of", "to", "in", "is"]
+            ),
+        )
+    )
+    gapless = n_chars - (n_tokens - 1)
+    verdict = (
+        F.when((n_tokens < 5) | (n_tokens > 10000), "token_count")
+        .when(
+            (gapless < 2 * n_tokens) | (gapless > 12 * n_tokens),
+            "mean_token_length",
+        )
+        .when(n_punct * 5 > n_chars, "punctuation")
+        .when(n_digit * 5 > n_chars, "digits")
+        .when(n_stop * 50 < n_tokens, "stopwords")
+        .otherwise("keep")
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        verdict.alias("verdict"),
+        (verdict == "keep").cast("int").alias("kept"),
+    )

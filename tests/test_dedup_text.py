@@ -896,3 +896,26 @@ def test_fold_confusables_recovers_hash(spark):
     assert out[1] == "hello world"
     assert out[2] == "hello world"
     assert out[3] == "Apple"
+
+
+def test_quality_filter_rule_ordering(spark):
+    from name_matching_spark.operators.text_analysis import quality_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "too short"),                                   # <5 tokens
+            (2, "the " + "supercalifragilistic " * 10),          # long tokens
+            (3, "the cat !!! ??? ;;; ### $$$ %%% sat mat"),      # punct heavy
+            (4, "the 111 222 333 444 555 666 777 888 999 000"),  # digit heavy
+            (5, "cat dog bird fish mouse horse goat"),           # no stopwords
+            (6, "the cat sat on a mat in the sun today"),        # keep
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["verdict"] for r in quality_filter(df).collect()}
+    assert out[1] == "token_count"
+    assert out[2] == "mean_token_length"
+    assert out[3] == "punctuation"
+    assert out[4] == "digits"
+    assert out[5] == "stopwords"
+    assert out[6] == "keep"
