@@ -3554,6 +3554,17 @@ def q137_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs)
 
 
+def q138_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy quality scores
+    (``text_analysis.bigram_cross_entropy``): add-one-smoothed
+    p(w2|w1) trained on the corpus itself — the 2-gram refinement of
+    q113's perplexity filter."""
+    from name_matching_spark.operators.text_analysis import bigram_cross_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_cross_entropy(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3709,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_value_outliers": q135_value_outliers,
         "q136_retention_cohorts": q136_retention_cohorts,
         "q137_quality_filter": q137_quality_filter,
+        "q138_bigram_perplexity": q138_bigram_perplexity,
     }
 
 
@@ -5403,6 +5415,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    array_to_string(list_sort(string_split(lower(p_name), ' ')), ' ') AS sorted_name
             FROM part
+        """,
+        "q138_bigram_perplexity": """
+            WITH l0 AS (SELECT doc_id, sp,
+                               unnest(range(1, len(sp) + 1)) AS i
+                        FROM (SELECT doc_id,
+                                     string_split_regex(lower(text), '\\s+') AS sp
+                              FROM documents)),
+            t0 AS (SELECT doc_id, CAST(i AS INT) AS i, sp[i] AS tok
+                   FROM l0 WHERE sp[i] <> ''),
+            tk AS (SELECT doc_id, tok,
+                          row_number() OVER (PARTITION BY doc_id
+                              ORDER BY i) AS p
+                   FROM t0),
+            dbg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2,
+                           count(*) AS k
+                    FROM tk a JOIN tk b ON b.doc_id = a.doc_id
+                                       AND b.p = a.p + 1
+                    GROUP BY 1, 2, 3),
+            c12 AS (SELECT w1, w2, sum(k) AS c12 FROM dbg GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+            v AS (SELECT count(DISTINCT t.token) AS vv
+                  FROM documents,
+                       LATERAL unnest(string_split_regex(lower(text), '\\s+'))
+                           AS t(token)
+                  WHERE t.token <> ''),
+            pd AS (SELECT doc_id, sum(k) AS nb,
+                          sum(k * ln((CAST(c12 AS DOUBLE) + 1.0)
+                                     / CAST(c1 + vv AS DOUBLE))) AS slp
+                   FROM dbg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+                   GROUP BY 1)
+            SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+                   -(slp / CAST(nb AS DOUBLE)) AS cross_entropy_nats,
+                   exp(-(slp / CAST(nb AS DOUBLE))) AS perplexity
+            FROM pd
         """,
         "q137_quality_filter": """
             WITH f AS (

@@ -32,6 +32,7 @@ __all__ = [
     "repetition_signals",
     "bigram_novelty",
     "unigram_cross_entropy",
+    "bigram_cross_entropy",
     "mixing_weights",
     "tfidf_keywords",
     "chunk_documents",
@@ -816,4 +817,72 @@ def quality_filter(
         n_tokens.cast("long").alias("n_tokens"),
         verdict.alias("verdict"),
         (verdict == "keep").cast("int").alias("kept"),
+    )
+
+
+def bigram_cross_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM cross-entropy — the q113 unigram filter upgraded to the
+    2-gram conditional the CCNet-style perplexity filter actually
+    approximates: p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), trained on the
+    corpus itself with add-one smoothing (c(w1·) = occurrences of w1 as a
+    non-final token, V = unigram vocabulary size). Per doc:
+    ce = -(1/n_bigrams) sum ln p over its bigram stream; documents with
+    fewer than two tokens drop.
+
+    Relational end to end: positional tokens, bigrams by the (doc, pos+1)
+    self-join (the bigram_novelty idiom), corpus censuses keyed on the
+    bigram/token strings, a 1-row totals broadcast, one per-doc
+    reaggregation. O(tokens); census-join skew bounded by the hottest
+    bigram's doc count (doc-local counts pre-combine).
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("pos", "w1"),
+        )
+        .filter(F.col("w1") != "")
+    )
+    nxt = toks.select(
+        F.col(id_col),
+        (F.col("pos") - 1).alias("pos"),
+        F.col("w1").alias("w2"),
+    )
+    doc_bg = (
+        toks.join(nxt, [id_col, "pos"])
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    c12 = doc_bg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .agg(F.count_distinct("t").alias("_v"))
+    )
+    logp = F.log(
+        (F.col("c12").cast("double") + F.lit(1.0))
+        / (F.col("c1") + F.col("_v")).cast("double")
+    )
+    per_doc = (
+        doc_bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("_nb"),
+            F.sum(F.col("k") * logp).alias("_slp"),
+        )
+    )
+    ce = -(F.col("_slp") / F.col("_nb").cast("double"))
+    return per_doc.select(
+        F.col(id_col),
+        F.col("_nb").cast("long").alias("n_bigrams"),
+        ce.alias("cross_entropy_nats"),
+        F.exp(ce).alias("perplexity"),
     )

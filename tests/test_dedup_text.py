@@ -919,3 +919,26 @@ def test_quality_filter_rule_ordering(spark):
     assert out[4] == "digits"
     assert out[5] == "stopwords"
     assert out[6] == "keep"
+
+
+def test_bigram_cross_entropy_hand_computed(spark):
+    import math
+
+    from name_matching_spark.operators.text_analysis import bigram_cross_entropy
+
+    # corpus: "a b a" and "a b" -> bigrams: (a,b)x2, (b,a)x1; c1: a->2, b->1
+    # vocab V = 2
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_cross_entropy(df).collect()}
+    assert set(out) == {1, 2}  # single-token doc drops
+    v = 3  # vocab is {a, b, solo}
+    p_ab = (2 + 1) / (2 + v)
+    p_ba = (1 + 1) / (1 + v)
+    ce1 = -(math.log(p_ab) + math.log(p_ba)) / 2
+    ce2 = -math.log(p_ab)
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[1]["cross_entropy_nats"] - ce1) < 1e-12
+    assert abs(out[2]["cross_entropy_nats"] - ce2) < 1e-12
+    assert abs(out[2]["perplexity"] - math.exp(ce2)) < 1e-9
