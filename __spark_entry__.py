@@ -3565,6 +3565,34 @@ def q138_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_cross_entropy(docs)
 
 
+def q139_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation dashboard summary: q137's keep/drop verdicts rolled up
+    per (source, verdict) with exact ppm of each source — the one-page
+    report a corpus owner reads after a filtering run."""
+    from name_matching_spark.operators.text_analysis import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    verdicts = quality_filter(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    per_source = verdicts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_n_source")
+    )
+    return (
+        verdicts.groupBy("source", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(per_source, "source")
+        .select(
+            "source",
+            "verdict",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("CAST(n_docs * 1000000 DIV _n_source AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3721,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_retention_cohorts": q136_retention_cohorts,
         "q137_quality_filter": q137_quality_filter,
         "q138_bigram_perplexity": q138_bigram_perplexity,
+        "q139_curation_summary": q139_curation_summary,
     }
 
 
@@ -5415,6 +5444,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    array_to_string(list_sort(string_split(lower(p_name), ' ')), ' ') AS sorted_name
             FROM part
+        """,
+        "q139_curation_summary": """
+            WITH f AS (
+                SELECT doc_id, source,
+                       length(text) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens,
+                       length(text) - length(regexp_replace(text,
+                           '[^\\w\\s]', '', 'g')) AS n_punct,
+                       length(text) - length(regexp_replace(text,
+                           '[0-9]', '', 'g')) AS n_digit,
+                       len(list_filter(string_split_regex(lower(trim(text)),
+                               '\\s+'),
+                           x -> x IN ('the','a','an','and','or','of','to',
+                                      'in','is'))) AS n_stop
+                FROM documents),
+            v AS (SELECT source,
+                         CASE
+                           WHEN n_tokens < 5 OR n_tokens > 10000
+                                THEN 'token_count'
+                           WHEN (n_chars - (n_tokens - 1)) < 2 * n_tokens
+                             OR (n_chars - (n_tokens - 1)) > 12 * n_tokens
+                                THEN 'mean_token_length'
+                           WHEN n_punct * 5 > n_chars THEN 'punctuation'
+                           WHEN n_digit * 5 > n_chars THEN 'digits'
+                           WHEN n_stop * 50 < n_tokens THEN 'stopwords'
+                           ELSE 'keep' END AS verdict
+                  FROM f),
+            ps AS (SELECT source, count(*) AS ns FROM v GROUP BY 1)
+            SELECT v.source, v.verdict,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) * 1000000 // max(ps.ns) AS BIGINT)
+                       AS share_ppm
+            FROM v JOIN ps USING (source)
+            GROUP BY 1, 2
         """,
         "q138_bigram_perplexity": """
             WITH l0 AS (SELECT doc_id, sp,
