@@ -5456,6 +5456,8 @@ def oracle_sql() -> dict[str, str]:
                            '[^\\w\\s]', '', 'g')) AS n_punct,
                        length(text) - length(regexp_replace(text,
                            '[0-9]', '', 'g')) AS n_digit,
+                       length(regexp_replace(text, '\\s', '', 'g'))
+                           AS t_chars,
                        len(list_filter(string_split_regex(lower(trim(text)),
                                '\\s+'),
                            x -> x IN ('the','a','an','and','or','of','to',
@@ -5465,8 +5467,8 @@ def oracle_sql() -> dict[str, str]:
                          CASE
                            WHEN n_tokens < 5 OR n_tokens > 10000
                                 THEN 'token_count'
-                           WHEN (n_chars - (n_tokens - 1)) < 2 * n_tokens
-                             OR (n_chars - (n_tokens - 1)) > 12 * n_tokens
+                           WHEN t_chars < 2 * n_tokens
+                             OR t_chars > 12 * n_tokens
                                 THEN 'mean_token_length'
                            WHEN n_punct * 5 > n_chars THEN 'punctuation'
                            WHEN n_digit * 5 > n_chars THEN 'digits'
@@ -5526,6 +5528,8 @@ def oracle_sql() -> dict[str, str]:
                            '[^\\w\\s]', '', 'g')) AS n_punct,
                        length(text) - length(regexp_replace(text,
                            '[0-9]', '', 'g')) AS n_digit,
+                       length(regexp_replace(text, '\\s', '', 'g'))
+                           AS t_chars,
                        len(list_filter(string_split_regex(lower(trim(text)),
                                '\\s+'),
                            x -> x IN ('the','a','an','and','or','of','to',
@@ -5535,8 +5539,8 @@ def oracle_sql() -> dict[str, str]:
                          CASE
                            WHEN n_tokens < 5 OR n_tokens > 10000
                                 THEN 'token_count'
-                           WHEN (n_chars - (n_tokens - 1)) < 2 * n_tokens
-                             OR (n_chars - (n_tokens - 1)) > 12 * n_tokens
+                           WHEN t_chars < 2 * n_tokens
+                             OR t_chars > 12 * n_tokens
                                 THEN 'mean_token_length'
                            WHEN n_punct * 5 > n_chars THEN 'punctuation'
                            WHEN n_digit * 5 > n_chars THEN 'digits'

@@ -778,7 +778,7 @@ def quality_filter(
     between engines:
 
       R1 token count in [5, 10000]
-      R2 mean token length in [2, 12]   (chars-minus-gaps vs 2n..12n)
+      R2 mean token length in [2, 12]   (non-whitespace chars vs 2n..12n)
       R3 punctuation <= 20% of chars    (n_punct * 5 <= n_chars)
       R4 digits <= 20% of chars         (n_digit * 5 <= n_chars)
       R5 stopwords >= 2% of tokens      (n_stop * 50 >= n_tokens)
@@ -800,11 +800,15 @@ def quality_filter(
             ),
         )
     )
-    gapless = n_chars - (n_tokens - 1)
+    # token character count measured directly (strip ALL whitespace) —
+    # n_chars - (n_tokens - 1) assumes exactly one separator char per gap
+    # and none leading/trailing, inflating mean token length on documents
+    # with runs of spaces or newlines (r4 advice item)
+    token_chars = F.length(F.regexp_replace(t, r"\s", ""))
     verdict = (
         F.when((n_tokens < 5) | (n_tokens > 10000), "token_count")
         .when(
-            (gapless < 2 * n_tokens) | (gapless > 12 * n_tokens),
+            (token_chars < 2 * n_tokens) | (token_chars > 12 * n_tokens),
             "mean_token_length",
         )
         .when(n_punct * 5 > n_chars, "punctuation")

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["streaming_exact_dedup", "streaming_near_dedup"]
+__all__ = [
+    "streaming_exact_dedup",
+    "streaming_near_dedup",
+    "near_dedup_batch_step",
+    "near_dedup_apply_batch",
+    "near_dedup_replay",
+]
 
 
 def streaming_exact_dedup(
@@ -86,72 +92,20 @@ def streaming_near_dedup(
     all-pairs; the store grows O(accepted docs x bands) and at cluster
     scale lives as a table bucketed by (band, band_sig).
     """
-    from pyspark.sql import functions as F
-
-    from name_matching_spark.operators.dedup import minhash_band_signatures
-
     spark = doc_stream.sparkSession
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        sigs = minhash_band_signatures(
-            batch_df, num_hashes, bands, shingle_len, text_col, id_col
-        ).localCheckpoint()
-        try:
-            store = spark.read.parquet(store_path).select(
-                F.col(id_col).alias("_keeper"), "band", "band_sig"
-            )
-        except Exception:  # first batch: no store yet
-            store = None
-        # vs accepted store
-        hits_store = None
-        if store is not None:
-            hits_store = (
-                sigs.join(store, ["band", "band_sig"])
-                .groupBy(id_col)
-                .agg(F.min("_keeper").alias("dup_of"))
-            )
-        # vs earlier (lower-id) docs of the SAME batch
-        a = sigs.select(F.col(id_col).alias("_new"), "band", "band_sig")
-        b = sigs.select(F.col(id_col).alias("_old"), "band", "band_sig")
-        hits_batch = (
-            a.join(b, ["band", "band_sig"])
-            .filter(F.col("_old") < F.col("_new"))
-            .groupBy(F.col("_new").alias(id_col))
-            .agg(F.min("_old").alias("dup_of_batch"))
-        )
-        verdict = batch_df.select(id_col).join(hits_batch, id_col, "left")
-        if hits_store is not None:
-            verdict = verdict.join(hits_store, id_col, "left")
-        else:
-            verdict = verdict.withColumn("dup_of", F.lit(None).cast("long"))
-        # dup_of may point at another duplicate (doc C dups doc B which
-        # dups keeper A through a different band): suppression is still
-        # correct — C is near-duplicate transitively — and the verdict log
-        # forms a union-find-style chain to the keeper; consumers wanting
-        # the root keeper follow the chain (or run the batch
-        # dedup_clusters plan over the log)
-        verdict = verdict.select(
-            id_col,
-            F.coalesce("dup_of", "dup_of_batch").alias("dup_of"),
-        ).withColumn("is_dup", F.col("dup_of").isNotNull().cast("int"))
-        out = verdict.withColumn("batch_id", F.lit(batch_id))
-        (
-            out.write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(out_path)
-        )
-        kept = verdict.filter(F.col("is_dup") == 0).select(id_col)
-        new_sigs = sigs.join(kept, id_col).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
-        (
-            new_sigs.write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(store_path)
+        near_dedup_apply_batch(
+            batch_df,
+            batch_id,
+            out_path,
+            store_path,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_len=shingle_len,
+            text_col=text_col,
+            id_col=id_col,
+            spark=spark,
         )
 
     writer = (
@@ -161,3 +115,182 @@ def streaming_near_dedup(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def near_dedup_batch_step(
+    batch_df: DataFrame,
+    store: DataFrame | None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of the near-dup suppression, as a pure batch
+    transform: given the batch documents and the accepted-signature store
+    from PRIOR batches (``(id_col, band, band_sig)`` rows, or ``None`` on
+    the first batch), return ``(verdict, new_sigs)``.
+
+    ``verdict`` is ``(id_col, dup_of, is_dup)``: ``dup_of`` is the
+    smallest store keeper sharing a band signature, else the smallest
+    lower-id same-batch doc sharing one, else NULL (kept). ``new_sigs``
+    are the kept docs' band signatures — the store contribution of this
+    batch. Shared verbatim by the streaming ``foreachBatch`` handler and
+    the batch-replay audit (``near_dedup_replay``), so the persisted-store
+    semantics tested against the SQL oracle are the ones deployed
+    streaming.
+    """
+    from name_matching_spark.operators.dedup import minhash_band_signatures
+
+    id_type = batch_df.schema[id_col].dataType
+    sigs = minhash_band_signatures(
+        batch_df, num_hashes, bands, shingle_len, text_col, id_col
+    ).localCheckpoint()
+    hits_store = None
+    if store is not None:
+        hits_store = (
+            sigs.join(
+                store.select(F.col(id_col).alias("_keeper"), "band", "band_sig"),
+                ["band", "band_sig"],
+            )
+            .groupBy(id_col)
+            .agg(F.min("_keeper").alias("dup_of"))
+        )
+    # vs earlier (lower-id) docs of the SAME batch
+    a = sigs.select(F.col(id_col).alias("_new"), "band", "band_sig")
+    b = sigs.select(F.col(id_col).alias("_old"), "band", "band_sig")
+    hits_batch = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("_old") < F.col("_new"))
+        .groupBy(F.col("_new").alias(id_col))
+        .agg(F.min("_old").alias("dup_of_batch"))
+    )
+    verdict = batch_df.select(id_col).join(hits_batch, id_col, "left")
+    if hits_store is not None:
+        verdict = verdict.join(hits_store, id_col, "left")
+    else:
+        # the null literal must carry the id column's type — a hardcoded
+        # long would fail (or miscast) the coalesce for string doc ids
+        verdict = verdict.withColumn("dup_of", F.lit(None).cast(id_type))
+    # dup_of may point at another duplicate (doc C dups doc B which
+    # dups keeper A through a different band): suppression is still
+    # correct — C is near-duplicate transitively — and the verdict log
+    # forms a union-find-style chain to the keeper; consumers wanting
+    # the root keeper follow the chain (or run the batch
+    # dedup_clusters plan over the log)
+    verdict = verdict.select(
+        id_col,
+        F.coalesce("dup_of", "dup_of_batch").alias("dup_of"),
+    ).withColumn("is_dup", F.col("dup_of").isNotNull().cast("int"))
+    kept = verdict.filter(F.col("is_dup") == 0).select(id_col)
+    new_sigs = sigs.join(kept, id_col)
+    return verdict, new_sigs
+
+
+def near_dedup_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    store_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spark=None,
+) -> None:
+    """Apply :func:`near_dedup_batch_step` with the PERSISTED parquet
+    store: read prior-batch signatures, write this batch's verdict and
+    store partitions via dynamic ``batch_id`` partition overwrite
+    (exactly-once under replay).
+
+    The store read is filtered to ``batch_id < batch_id`` — a REPLAYED
+    batch (failure between the store write and the checkpoint commit)
+    must not see its own earlier store partition, or every previously
+    kept doc would match its own signatures, flip to is_dup=1 with
+    dup_of=itself, and the overwrite would then erase the batch's keeper
+    signatures for good. Filtering to prior batches makes replay
+    idempotent: same input partition -> same verdicts -> same store rows.
+    """
+    if spark is None:
+        spark = batch_df.sparkSession
+    if not batch_df.take(1):
+        return
+    try:
+        store = (
+            spark.read.parquet(store_path)
+            .filter(F.col("batch_id") < batch_id)
+            .select(id_col, "band", "band_sig")
+        )
+    except Exception:  # first batch: no store yet
+        store = None
+    verdict, new_sigs = near_dedup_batch_step(
+        batch_df,
+        store,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_len=shingle_len,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    (
+        verdict.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out_path)
+    )
+    (
+        new_sigs.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store_path)
+    )
+
+
+def near_dedup_replay(
+    docs: DataFrame,
+    batch_col: str,
+    out_path: str,
+    store_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-replay of the streaming near-dup suppression: process the
+    ``batch_col`` partitions of ``docs`` in ascending order through the
+    SAME persisted-store step the ``foreachBatch`` handler runs
+    (:func:`near_dedup_apply_batch`), then return the full verdict log
+    ``(id_col, dup_of, is_dup, batch_id)``.
+
+    This is the driver-visible correctness surface for the streaming
+    path: a deterministic batch key makes the whole run (banding, store
+    evolution, keeper choice) reproducible in ANSI SQL, so the persisted-
+    signature semantics get a value-hash oracle rather than only a pytest.
+    The batch-id collect is a handful of ints — micro-batch sequencing is
+    inherently driver-ordered, exactly like the streaming engine's own
+    batch loop.
+    """
+    batch_ids = [
+        r[0]
+        for r in docs.select(batch_col).distinct().orderBy(batch_col).collect()
+    ]
+    for bid in batch_ids:
+        near_dedup_apply_batch(
+            docs.filter(F.col(batch_col) == bid).drop(batch_col),
+            int(bid),
+            out_path,
+            store_path,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_len=shingle_len,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    spark = docs.sparkSession
+    return spark.read.parquet(out_path).select(
+        id_col, "dup_of", "is_dup", F.col("batch_id").cast("int").alias("batch_id")
+    )

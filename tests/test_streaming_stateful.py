@@ -203,3 +203,67 @@ def test_streaming_near_dedup_across_batches(spark, tmp_path):
     # only keepers' signatures persist
     keepers = {r.doc_id for r in spark.read.parquet(store_path).collect()}
     assert keepers == {1, 4}
+
+
+def test_near_dedup_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (failure between the store write and the
+    checkpoint commit) must reproduce IDENTICAL verdicts and store rows:
+    the store read excludes the replayed batch's own partition, so kept
+    docs never match their own signatures (r4 advice item)."""
+    from name_matching_spark.streaming.dedup import near_dedup_apply_batch
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 6
+    dup_a = base.replace("lazy dog", "lazy cat", 1)
+    dup_b = base.replace("quick brown", "swift brown", 1)
+    other = "entirely unrelated corpus material about spark shuffles " * 6
+
+    out_path = str(tmp_path / "verdicts")
+    store_path = str(tmp_path / "store")
+    b0 = spark.createDataFrame(
+        [(1, base), (2, dup_a)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, dup_b), (4, other)], "doc_id long, text string"
+    )
+    for bid, df in ((0, b0), (1, b1)):
+        near_dedup_apply_batch(
+            df, bid, out_path, store_path, num_hashes=16, bands=4
+        )
+
+    def _snap(path):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(path).collect()
+        )
+
+    verdicts1, store1 = _snap(out_path), _snap(store_path)
+    # replay BOTH batches (same batch_id, same input) — the failure-replay
+    # scenario; verdicts and store must be byte-identical, not corrupted
+    # by self-matches against the batch's own earlier store partition
+    for bid, df in ((1, b1), (0, b0)):
+        near_dedup_apply_batch(
+            df, bid, out_path, store_path, num_hashes=16, bands=4
+        )
+    assert _snap(out_path) == verdicts1
+    assert _snap(store_path) == store1
+    got = {r.doc_id: r for r in spark.read.parquet(out_path).collect()}
+    assert got[3].is_dup == 1 and got[3].dup_of == 1
+    assert got[1].is_dup == 0 and got[4].is_dup == 0
+
+
+def test_near_dedup_step_string_ids(spark):
+    """First-batch dup_of null literal must carry the id column's TYPE —
+    string doc ids coalesce against the batch-hit column (r4 advice)."""
+    from name_matching_spark.streaming.dedup import near_dedup_batch_step
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 6
+    dup = base.replace("lazy dog", "lazy cat", 1)
+    batch = spark.createDataFrame(
+        [("a", base), ("b", dup)], "doc_id string, text string"
+    )
+    verdict, new_sigs = near_dedup_batch_step(
+        batch, None, num_hashes=16, bands=4
+    )
+    got = {r.doc_id: r for r in verdict.collect()}
+    assert got["a"].is_dup == 0 and got["a"].dup_of is None
+    assert got["b"].is_dup == 1 and got["b"].dup_of == "a"
+    assert {r.doc_id for r in new_sigs.select("doc_id").distinct().collect()} == {"a"}
