@@ -23,6 +23,7 @@ __all__ = [
     "select_canonical",
     "golden_record",
     "group_linkage",
+    "orient_edges_by_degree",
     "triangle_count",
     "clustering_coefficient",
     "pagerank",
@@ -405,6 +406,40 @@ def constrained_clusters(
     )
 
 
+def orient_edges_by_degree(e: DataFrame) -> DataFrame:
+    """Direct every canonical undirected edge ``(u, v)`` from its
+    (degree, id)-smaller endpoint to the larger: the Suri & Vassilvitskii
+    (WWW'11) orientation shared by :func:`triangle_count` and
+    :func:`k_truss`. Out-degree of any vertex under this orientation is
+    at most O(sqrt(edges)) — a total-order argument: a vertex keeps only
+    neighbors of equal-or-larger degree, so a vertex with out-degree d
+    has degree >= d and so do d of its neighbors, forcing >= d^2/2 edges.
+    Wedge generation keyed on the orientation apex is therefore bounded
+    per key regardless of hub degree. Input: ``(u, v)`` distinct,
+    self-loop-free; output columns ``(a, b)``.
+    """
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        e.join(deg.withColumnsRenamed({"n": "u", "d": "_du"}), "u")
+        .join(deg.withColumnsRenamed({"n": "v", "d": "_dv"}), "v")
+        .select(
+            F.when(
+                (F.col("_du") < F.col("_dv"))
+                | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("_e")
+        )
+        .select("_e.a", "_e.b")
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "id1",
@@ -436,26 +471,7 @@ def triangle_count(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionAll(e.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    oriented = (
-        e.join(deg.withColumnsRenamed({"n": "u", "d": "_du"}), "u")
-        .join(deg.withColumnsRenamed({"n": "v", "d": "_dv"}), "v")
-        .select(
-            F.when(
-                (F.col("_du") < F.col("_dv"))
-                | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
-            )
-            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
-            .alias("_e")
-        )
-        .select("_e.a", "_e.b")
-    )
+    oriented = orient_edges_by_degree(e)
     wedges = (
         oriented.alias("x")
         .join(oriented.alias("y"), "a")
@@ -616,10 +632,15 @@ def k_truss(
     so ``support >= k-2`` for all rows iff peeling converged (a cheap
     convergence audit for the caller).
 
-    Scale shape per round: one degree-ordered-style triangle enumeration
-    (canonical a<b<c via two id-ordered joins) and one edge-keyed census —
-    O(triangles + edges), pair-free; the shrinking edge set is
+    Scale shape per round: one degree-ordered triangle enumeration (the
+    same Suri & Vassilvitskii orientation as ``triangle_count`` — wedges
+    fan out ONLY from each triangle's smallest-degree vertex, so a
+    degree-10^5 hub record never puts ~d^2/2 wedge candidates on one join
+    key, which the previous id-ordered form did) and one edge-keyed
+    census — O(triangles + edges), pair-free; the shrinking edge set is
     localCheckpoint'd per round so round r never re-peels rounds 1..r-1.
+    Degrees are recounted per round on the surviving edge set (an
+    O(edges) map-side-combined aggregation).
     """
     e = (
         edges.select(
@@ -632,20 +653,32 @@ def k_truss(
     )
 
     def _support(cur: DataFrame) -> DataFrame:
-        ab = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        ac = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
-        bc = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
-        tri = (
-            ab.join(ac, "a")
-            .filter(F.col("b") < F.col("c"))
-            .join(bc, ["b", "c"])
+        oriented = orient_edges_by_degree(cur)
+        # wedges only at the degree-order-minimum vertex; legs id-ordered
+        # (b < c) so the closing edge is looked up in the ID-canonical set
+        wedges = (
+            oriented.alias("x")
+            .join(oriented.alias("y"), "a")
+            .filter(F.col("x.b") < F.col("y.b"))
+            .select(F.col("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c"))
         )
+        tri = wedges.join(
+            cur.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"]
+        )
+        # apex a is degree-min, not id-min: canonicalize each triangle edge
+        # back to (min, max) id order for the census
         sup = (
             tri.select(
                 F.explode(
                     F.array(
-                        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-                        F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+                        F.struct(
+                            F.least("a", "b").alias("u"),
+                            F.greatest("a", "b").alias("v"),
+                        ),
+                        F.struct(
+                            F.least("a", "c").alias("u"),
+                            F.greatest("a", "c").alias("v"),
+                        ),
                         F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
                     )
                 ).alias("_e")

@@ -435,3 +435,38 @@ def test_cluster_depths_chain_and_clique(spark):
     assert out[2] == (1, 1) and out[5] == (1, 4)
     assert out[6] == (1, -1) and out[7] == (1, -1)  # beyond the horizon
     assert out[10] == (10, 0) and out[11] == (10, 1) and out[12] == (10, 1)
+
+
+def test_k_truss_hub_graph_and_orientation_bound(spark):
+    """r4 verdict item: a hub record (common name) of degree ~10^3 must
+    not fan d^2/2 wedge candidates onto one join key. The degree-ordered
+    orientation keeps per-apex out-degree (= wedge-join key fanout) tiny
+    on a star, and k_truss still peels the star while keeping the clique.
+    """
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.operators.clustering import (
+        k_truss,
+        orient_edges_by_degree,
+    )
+
+    hub = [(0, i) for i in range(1, 1001)]           # degree-1000 hub
+    clique = [(2001, 2002), (2001, 2003), (2002, 2003), (2001, 2004),
+              (2002, 2004), (2003, 2004)]            # K4 survives k=3
+    edges = spark.createDataFrame(hub + clique, ["id1", "id2"])
+
+    e = edges.select(
+        F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
+    ).distinct()
+    fanout = (
+        orient_edges_by_degree(e).groupBy("a").agg(F.count(F.lit(1)).alias("k"))
+    )
+    max_fan = fanout.agg(F.max("k")).collect()[0][0]
+    # star spokes orient INTO the hub (degree 1 < 1000): the hub apex
+    # never appears, every spoke has out-degree 1; K4 apexes have <= 3
+    assert max_fan <= 3
+
+    out = {(r["id1"], r["id2"]): r["support"] for r in k_truss(edges, k=3).collect()}
+    assert set(out) == {(2001, 2002), (2001, 2003), (2001, 2004),
+                        (2002, 2003), (2002, 2004), (2003, 2004)}
+    assert all(s == 2 for s in out.values())

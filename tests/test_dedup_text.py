@@ -909,6 +909,9 @@ def test_quality_filter_rule_ordering(spark):
             (4, "the 111 222 333 444 555 666 777 888 999 000"),  # digit heavy
             (5, "cat dog bird fish mouse horse goat"),           # no stopwords
             (6, "the cat sat on a mat in the sun today"),        # keep
+            # whitespace runs must NOT count as token chars (r4 advice):
+            # the one-space-per-gap assumption would read ~25 chars/token
+            (7, "the   cat \n\n  sat  on\t a " + " " * 200 + "mat in the sun today"),
         ],
         ["doc_id", "text"],
     )
@@ -919,6 +922,7 @@ def test_quality_filter_rule_ordering(spark):
     assert out[4] == "digits"
     assert out[5] == "stopwords"
     assert out[6] == "keep"
+    assert out[7] == "keep"
 
 
 def test_bigram_cross_entropy_hand_computed(spark):
