@@ -23,6 +23,7 @@ __all__ = [
     "cosine_near_dupes",
     "hyperplane_lsh_buckets",
     "lsh_topk",
+    "lsh_candidate_pairs",
     "lsh_near_dupes",
     "ivf_topk",
     "semantic_dedup",
@@ -31,6 +32,7 @@ __all__ = [
     "cluster_medoids",
     "banding_candidate_prob",
     "banding_config",
+    "banding_cost_solve",
 ]
 
 
@@ -41,8 +43,9 @@ def banding_candidate_prob(
     candidate under OR-of-ANDs banding: per-plane collision prob is
     ``p = 1 - arccos(cosine)/pi`` (random-hyperplane LSH), a band matches
     with ``p^band_planes``, and the pair is a candidate iff at least one of
-    ``n_bands`` bands matches."""
-    p = 1.0 - float(np.arccos(np.clip(cosine, -1.0, 1.0))) / np.pi
+    ``n_bands`` bands matches. Accepts a scalar or a numpy array of
+    cosines (the cost solver integrates over a quadrature grid)."""
+    p = 1.0 - np.arccos(np.clip(cosine, -1.0, 1.0)) / np.pi
     return 1.0 - (1.0 - p**band_planes) ** n_bands
 
 
@@ -104,6 +107,126 @@ def banding_config(
             f"needs {best[0]} single-plane bands (max_bands={max_bands})"
         )
     return best
+
+
+def banding_cost_solve(
+    threshold: float,
+    recall_target: float,
+    n_vectors: int,
+    dim: int,
+    pair_cosine_mu: float = 0.0,
+    pair_cosine_sigma: float | None = None,
+    max_bands: int = 64,
+    max_planes: int = 8,
+    sig_cost_per_plane: float = 1.0,
+    rerank_cost_per_candidate: float = 25.0,
+) -> dict:
+    """COST-AWARE banding solve: choose ``(n_bands, band_planes)``
+    minimizing expected total work — signatures plus rerank — subject to
+    per-pair recall >= ``recall_target`` at the threshold, and SAY what
+    every feasible config would cost (the no-silent-cost analog of
+    ``token_cap_census``: weak pruning must be visible, not discovered in
+    production).
+
+    Expected candidate volume integrates :func:`banding_candidate_prob`
+    over the corpus pair-cosine distribution, modeled Gaussian
+    ``N(pair_cosine_mu, pair_cosine_sigma)`` with the random-unit-vector
+    default ``sigma = 1/sqrt(dim)`` (measured on the embeddings corpus:
+    mu = 0.000, sigma = 0.125 at dim 64 for every SF — the analytic
+    profile exactly). A fixed 241-point quadrature over mu +- 6 sigma
+    keeps the solve deterministic (no RNG), so the same table renders
+    into SQL-oracle literals.
+
+    Cost model per config (n bands x r planes):
+      ``sig  = n_vectors * n * r * sig_cost_per_plane``   (dot products)
+      ``rerank = E[candidates] * rerank_cost_per_candidate`` (exact cosine)
+    The default 25:1 rerank:plane ratio reflects that a candidate costs
+    two vector fetches + a dim-length dot + a shuffled pair row, vs one
+    in-cache projection per plane; the argmin is insensitive to this
+    ratio when pruning is strong or absent (the two regimes that matter).
+
+    Returns a dict: ``n_bands``, ``band_planes``, ``miss_prob`` (at the
+    threshold), ``expected_candidate_frac``, ``expected_candidates``,
+    ``strategy`` ('lsh', or 'exact' when even the best config's expected
+    cost >= brute-force rerank of all pairs — the honest verdict on
+    weak-pruning corpora, where LSH adds signature cost without removing
+    rerank cost), and ``table``: one row per band_planes in
+    [1, max_planes] with (band_planes, n_bands, feasible, miss_ppm,
+    expected_candidate_ppm, cost) — the caller's census surface.
+
+    On q28's profile (threshold 0.3 over near-orthogonal embeddings) the
+    argmin is single-plane: every feasible config passes ~100% of pairs
+    (expected_candidate_ppm ~ 10^6), so added planes only add signature
+    cost, and ``strategy`` is 'exact'. At a realistic near-dup threshold
+    (0.8+) the same solve turns on multi-plane pruning with
+    expected_candidate_ppm orders of magnitude lower — pinned by
+    tests/test_ann_multimodal_streaming.py.
+    """
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError("recall_target must be in (0, 1)")
+    if pair_cosine_sigma is None:
+        pair_cosine_sigma = 1.0 / float(np.sqrt(dim))
+    p_thr = 1.0 - float(np.arccos(np.clip(threshold, -1.0, 1.0))) / np.pi
+    if p_thr <= 0.0:
+        raise ValueError("threshold too low: per-plane collision prob is 0")
+    xs = np.linspace(
+        pair_cosine_mu - 6.0 * pair_cosine_sigma,
+        pair_cosine_mu + 6.0 * pair_cosine_sigma,
+        241,
+    )
+    w = np.exp(-0.5 * ((xs - pair_cosine_mu) / pair_cosine_sigma) ** 2)
+    w /= w.sum()
+    n_pairs = n_vectors * (n_vectors - 1) / 2.0
+    table: list[dict] = []
+    best: dict | None = None
+    for planes in range(1, max_planes + 1):
+        band_p = p_thr**planes
+        n = (
+            1
+            if band_p >= 1.0
+            else int(np.ceil(np.log1p(-recall_target) / np.log1p(-band_p)))
+        )
+        feasible = n <= max_bands
+        row: dict = {"band_planes": planes, "n_bands": n, "feasible": feasible}
+        if feasible:
+            frac = float(
+                (w * banding_candidate_prob(xs, n, planes)).sum()
+            )
+            miss = 1.0 - banding_candidate_prob(threshold, n, planes)
+            cost = (
+                n_vectors * n * planes * sig_cost_per_plane
+                + frac * n_pairs * rerank_cost_per_candidate
+            )
+            row.update(
+                miss_ppm=int(round(miss * 1_000_000)),
+                expected_candidate_ppm=int(round(frac * 1_000_000)),
+                cost=cost,
+                miss_prob=miss,
+                expected_candidate_frac=frac,
+            )
+            if best is None or cost < best["cost"]:
+                best = row
+        else:
+            row.update(
+                miss_ppm=None, expected_candidate_ppm=None, cost=None,
+                miss_prob=None, expected_candidate_frac=None,
+            )
+        table.append(row)
+    if best is None:
+        raise ValueError(
+            f"no feasible banding for recall {recall_target} at threshold "
+            f"{threshold} within max_bands={max_bands}"
+        )
+    brute = n_pairs * rerank_cost_per_candidate
+    return {
+        "n_bands": best["n_bands"],
+        "band_planes": best["band_planes"],
+        "miss_prob": best["miss_prob"],
+        "expected_candidate_frac": best["expected_candidate_frac"],
+        "expected_candidates": best["expected_candidate_frac"] * n_pairs,
+        "strategy": "lsh" if best["cost"] < brute else "exact",
+        "table": table,
+    }
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -682,6 +805,35 @@ def _band_signatures(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    n_bands: int,
+    band_planes: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct candidate pairs ``(id1 < id2)`` agreeing on at least one
+    full band signature — the pre-rerank stage of :func:`lsh_near_dupes`,
+    exposed separately so cost censuses (q140) can measure OBSERVED
+    candidate volume per banding config against the solver's prediction.
+    One shuffle on (band, band_sig) plus one pair dedup; never a cross
+    join."""
+    banded = _band_signatures(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        dim, n_bands, band_planes, seed, "_v",
+    ).select("_id", "band", "band_sig")
+    a = banded.select(F.col("_id").alias("id1"), "band", "band_sig")
+    b = banded.select(F.col("_id").alias("id2"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
 def lsh_near_dupes(
     df: DataFrame,
     dim: int,
@@ -718,17 +870,8 @@ def lsh_near_dupes(
     """
     if recall_target is not None:
         n_bands, band_planes = banding_config(threshold, recall_target)
-    banded = _band_signatures(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
-        dim, n_bands, band_planes, seed, "_v",
-    ).select("_id", "band", "band_sig")
-    a = banded.select(F.col("_id").alias("id1"), "band", "band_sig")
-    b = banded.select(F.col("_id").alias("id2"), "band", "band_sig")
-    cand = (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
+    cand = lsh_candidate_pairs(
+        df, dim, n_bands, band_planes, seed, id_col, vec_col
     )
     vd = None
     if broadcast_vectors or broadcast_vectors is None:
