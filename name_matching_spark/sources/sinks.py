@@ -31,8 +31,16 @@ def write_match_results(
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path_or_table)
-    else:
+        return
+    try:
         unique.writeTo(path_or_table).append()
+    except Exception as e:  # pragma: no cover - branch exercised in tests
+        # the DataFrameWriterV2 append only resolves against V2 catalogs
+        # (Iceberg et al.); a V1 session-catalog table raises
+        # "Cannot write into v1 table" — fall back to the V1 by-name append
+        if "v1 table" not in str(e):
+            raise
+        unique.write.mode("append").saveAsTable(path_or_table)
 
 
 def write_report_csv(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
