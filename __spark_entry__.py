@@ -3686,6 +3686,41 @@ def q140_banding_cost_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_streaming_replay_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible correctness row for the STREAMING near-dup
+    suppression (r4 verdict item 5): the documents table is split into
+    three deterministic micro-batches (doc_id % 3) and replayed
+    sequentially through the exact ``foreachBatch`` store logic
+    (``streaming.dedup.near_dedup_apply_batch`` — persisted parquet
+    signature store, prior-batch filter, dynamic batch_id overwrite).
+    Output: the full verdict log (doc_id, dup_of, is_dup, batch_id).
+
+    The oracle unrolls the three batches in SQL over the SAME seeded
+    minhash banding (q42's shared CTE): batch k's dup_of = min keeper of
+    any earlier batch sharing a full band signature, else min lower-id
+    same-batch doc sharing one; keepers accumulate per batch. A
+    value-hash match therefore pins the persisted-signature semantics —
+    store evolution, keeper choice, replay determinism — not just row
+    counts."""
+    import tempfile
+
+    from name_matching_spark.streaming.dedup import near_dedup_replay
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", (F.col("doc_id") % 3).cast("int").alias("_batch")
+    )
+    tmp = tempfile.mkdtemp(prefix="nms-q141-")
+    return near_dedup_replay(
+        docs,
+        "_batch",
+        f"{tmp}/verdicts",
+        f"{tmp}/store",
+        num_hashes=16,
+        bands=4,
+        shingle_len=5,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocked fuzzy linkage of the sf0.001 person table."""
     return q15_match_scores(spark, "/root/testdata/sf0.001")
@@ -3844,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_bigram_perplexity": q138_bigram_perplexity,
         "q139_curation_summary": q139_curation_summary,
         "q140_banding_cost_census": q140_banding_cost_census,
+        "q141_streaming_replay_near_dedup": q141_streaming_replay_near_dedup,
     }
 
 
@@ -4319,6 +4355,72 @@ def _q140_oracle() -> str:
                CAST(o.observed_missed AS BIGINT) AS observed_missed,
                CAST(t.observed_true_pairs AS BIGINT) AS observed_true_pairs
         FROM pred p JOIN obs o USING (band_planes), tot t
+    """
+    )
+
+
+def _q141_oracle() -> str:
+    """q141 oracle: the three-micro-batch replay of the streaming near-dup
+    suppression, unrolled in SQL. Shares q42's seeded minhash banding CTE
+    (the same coefficients the Spark operator inlines); keeper sets
+    accumulate batch by batch exactly like the persisted signature store
+    (store hit = min keeper of any EARLIER batch sharing a full band
+    signature, with priority over the min lower-id same-batch hit).
+    Multiply-referenced CTEs are MATERIALIZED (DuckDB inlines them
+    otherwise — measured r4)."""
+    return (
+        "WITH "
+        + _minhash_oracle_cte(16)
+        + """,
+        band AS MATERIALIZED (
+            SELECT doc_id, CAST(h // 4 AS INT) AS band,
+                   string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS band_sig
+            FROM mh GROUP BY 1, 2),
+        bt AS MATERIALIZED (
+            SELECT doc_id, CAST(doc_id % 3 AS INT) AS b FROM documents),
+        bs AS MATERIALIZED (
+            SELECT band.doc_id, bt.b, band.band, band.band_sig
+            FROM band JOIN bt USING (doc_id)),
+        d0 AS (SELECT a.doc_id, min(o.doc_id) AS dup_of
+               FROM bs a JOIN bs o ON o.band = a.band AND o.band_sig = a.band_sig
+                                  AND o.b = 0 AND o.doc_id < a.doc_id
+               WHERE a.b = 0 GROUP BY 1),
+        v0 AS (SELECT bt.doc_id, d0.dup_of
+               FROM bt LEFT JOIN d0 USING (doc_id) WHERE bt.b = 0),
+        k0 AS MATERIALIZED (SELECT doc_id FROM v0 WHERE dup_of IS NULL),
+        s1 AS (SELECT a.doc_id, min(o.doc_id) AS dup_store
+               FROM bs a
+               JOIN bs o ON o.band = a.band AND o.band_sig = a.band_sig
+               JOIN k0 ON k0.doc_id = o.doc_id
+               WHERE a.b = 1 GROUP BY 1),
+        d1 AS (SELECT a.doc_id, min(o.doc_id) AS dup_batch
+               FROM bs a JOIN bs o ON o.band = a.band AND o.band_sig = a.band_sig
+                                  AND o.b = 1 AND o.doc_id < a.doc_id
+               WHERE a.b = 1 GROUP BY 1),
+        v1 AS (SELECT bt.doc_id, coalesce(s1.dup_store, d1.dup_batch) AS dup_of
+               FROM bt LEFT JOIN s1 USING (doc_id) LEFT JOIN d1 USING (doc_id)
+               WHERE bt.b = 1),
+        k1 AS MATERIALIZED (SELECT doc_id FROM v1 WHERE dup_of IS NULL),
+        ks AS (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1),
+        s2 AS (SELECT a.doc_id, min(o.doc_id) AS dup_store
+               FROM bs a
+               JOIN bs o ON o.band = a.band AND o.band_sig = a.band_sig
+               JOIN ks ON ks.doc_id = o.doc_id
+               WHERE a.b = 2 GROUP BY 1),
+        d2 AS (SELECT a.doc_id, min(o.doc_id) AS dup_batch
+               FROM bs a JOIN bs o ON o.band = a.band AND o.band_sig = a.band_sig
+                                  AND o.b = 2 AND o.doc_id < a.doc_id
+               WHERE a.b = 2 GROUP BY 1),
+        v2 AS (SELECT bt.doc_id, coalesce(s2.dup_store, d2.dup_batch) AS dup_of
+               FROM bt LEFT JOIN s2 USING (doc_id) LEFT JOIN d2 USING (doc_id)
+               WHERE bt.b = 2),
+        allv AS (SELECT doc_id, dup_of, 0 AS bid FROM v0
+                 UNION ALL SELECT doc_id, dup_of, 1 FROM v1
+                 UNION ALL SELECT doc_id, dup_of, 2 FROM v2)
+        SELECT doc_id, dup_of,
+               CAST(CASE WHEN dup_of IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
+               CAST(bid AS INT) AS batch_id
+        FROM allv
     """
     )
 
@@ -6032,6 +6134,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q25_ann_lsh": _q25_oracle(),
         "q140_banding_cost_census": _q140_oracle(),
+        "q141_streaming_replay_near_dedup": _q141_oracle(),
         "q36_ann_ivf": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             en AS (SELECT vec_id, v,
