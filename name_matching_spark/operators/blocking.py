@@ -470,6 +470,9 @@ def meta_blocking_wnp(
         .select(F.col("x._id").alias("id1"), F.col("y._id").alias("id2"))
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("cbs"))
+        # consumed by the node census AND the final keep-rule joins:
+        # materialize the block self-join + CBS aggregation once
+        .localCheckpoint(eager=False)
     )
     node = (
         edges.select(F.col("id1").alias("_nid"), "cbs")

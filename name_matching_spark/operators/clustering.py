@@ -611,12 +611,71 @@ def pagerank(
     )
 
 
+# driver fast path budget for k_truss: the packed-bitset adjacency is
+# n * n/8 bytes (32k nodes -> 128 MB) and per-round edge support is a
+# chunked popcount — same adaptive small-graph/scale-shape split as
+# CC_DRIVER_EDGE_CAP above
+K_TRUSS_DRIVER_EDGE_CAP = 2_000_000
+K_TRUSS_DRIVER_NODE_CAP = 32_768
+
+_POPCOUNT_LUT = None
+
+
+def _driver_truss(rows, k: int, rounds: int):
+    """k-truss peeling over a collected canonical edge list: adjacency as
+    packed bit rows (numpy uint8), per-edge triangle support =
+    popcount(row[u] & row[v]) — exact common-neighbor counts, no joins.
+    Bit-identical to the distributed peeling for any edge set
+    (parity-tested): both drop edges with support < k-2 per round and
+    recount on the final survivor set."""
+    import numpy as np
+
+    global _POPCOUNT_LUT
+    if _POPCOUNT_LUT is None:
+        _POPCOUNT_LUT = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.uint16
+        )
+
+    nodes = sorted({x for r in rows for x in r})
+    idx = {x: i for i, x in enumerate(nodes)}
+    n = len(nodes)
+    w = (n + 7) // 8
+    ui = np.array([idx[u] for u, _ in rows], dtype=np.int64)
+    vi = np.array([idx[v] for _, v in rows], dtype=np.int64)
+    adj = np.zeros((n, w), dtype=np.uint8)
+    bit_u = (1 << (ui & 7)).astype(np.uint8)
+    bit_v = (1 << (vi & 7)).astype(np.uint8)
+    np.bitwise_or.at(adj, (ui, vi >> 3), bit_v)
+    np.bitwise_or.at(adj, (vi, ui >> 3), bit_u)
+
+    def _support(ui, vi):
+        sup = np.empty(len(ui), dtype=np.int64)
+        # chunk so the AND operand stays ~64 MB regardless of edge count
+        step = max(1, (64 << 20) // max(w, 1))
+        for s in range(0, len(ui), step):
+            band = adj[ui[s : s + step]] & adj[vi[s : s + step]]
+            sup[s : s + step] = _POPCOUNT_LUT[band].sum(axis=1)
+        return sup
+
+    for _ in range(rounds):
+        keep = _support(ui, vi) >= k - 2
+        du, dv = ui[~keep], vi[~keep]
+        np.bitwise_and.at(adj, (du, dv >> 3), ~(1 << (dv & 7)).astype(np.uint8))
+        np.bitwise_and.at(adj, (dv, du >> 3), ~(1 << (du & 7)).astype(np.uint8))
+        ui, vi = ui[keep], vi[keep]
+    sup = _support(ui, vi)
+    return [
+        (nodes[int(u)], nodes[int(v)], int(s)) for u, v, s in zip(ui, vi, sup)
+    ]
+
+
 def k_truss(
     edges: DataFrame,
     src: str = "id1",
     dst: str = "id2",
     k: int = 3,
     rounds: int = 3,
+    driver_fast_path: bool | None = None,
 ) -> DataFrame:
     """Bounded k-truss peeling over the undirected match graph: per round,
     recount each edge's triangle support within the surviving edge set and
@@ -634,15 +693,27 @@ def k_truss(
 
     Scale shape per round: one degree-ordered triangle enumeration (the
     same Suri & Vassilvitskii orientation as ``triangle_count`` — wedges
-    fan out ONLY from each triangle's smallest-degree vertex, so a
+    fan out ONLY from each triangle's orientation-minimum vertex, so a
     degree-10^5 hub record never puts ~d^2/2 wedge candidates on one join
     key, which the previous id-ordered form did) and one edge-keyed
     census — O(triangles + edges), pair-free; the shrinking edge set is
     localCheckpoint'd per round so round r never re-peels rounds 1..r-1.
-    Degrees are recounted per round on the surviving edge set (an
-    O(edges) map-side-combined aggregation).
+    Degrees are censused ONCE on the input edge set and carried through
+    the rounds as edge columns: peeling only shrinks degrees, so the
+    input-degree total order stays a valid orientation (each triangle has
+    exactly one minimum; the out-degree bound is w.r.t. the input graph).
+    That makes per-round orientation a pure PROJECTION — no degree
+    re-aggregation and no joins — instead of three extra shuffles.
+
+    ``driver_fast_path`` (None = auto when the canonical edge count fits
+    ``K_TRUSS_DRIVER_EDGE_CAP`` and the node count fits
+    ``K_TRUSS_DRIVER_NODE_CAP``): small graphs peel on the driver via a
+    packed-bitset popcount (``_driver_truss``) — bit-identical survivors
+    and supports (parity-tested), none of the ~5-stages-per-round job
+    overhead. The wedge-join form below is the 10^9-edge scale shape and
+    remains the automatic fallback.
     """
-    e = (
+    canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
@@ -651,10 +722,48 @@ def k_truss(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if driver_fast_path is None:
+        driver_fast_path = canon.count() <= K_TRUSS_DRIVER_EDGE_CAP
+    elif driver_fast_path and canon.count() > K_TRUSS_DRIVER_EDGE_CAP:
+        raise ValueError("edge list exceeds K_TRUSS_DRIVER_EDGE_CAP")
+    if driver_fast_path:
+        rows = [(r["u"], r["v"]) for r in canon.collect()]
+        if len({x for r in rows for x in r}) <= K_TRUSS_DRIVER_NODE_CAP:
+            spark = edges.sparkSession
+            out_schema = (
+                edges.select(
+                    F.least(F.col(src), F.col(dst)).alias(src),
+                    F.greatest(F.col(src), F.col(dst)).alias(dst),
+                    F.lit(0).cast("long").alias("support"),
+                )
+            ).schema
+            return spark.createDataFrame(
+                _driver_truss(rows, k, rounds), schema=out_schema
+            )
+        # edge count fit but the graph is too sparse/wide for a dense
+        # bitset — fall through to the distributed shape
+    deg = (
+        canon.select(F.col("u").alias("n"))
+        .unionAll(canon.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        canon.join(deg.withColumnsRenamed({"n": "u", "d": "_du"}), "u")
+        .join(deg.withColumnsRenamed({"n": "v", "d": "_dv"}), "v")
+        .select("u", "v", "_du", "_dv")
+        .localCheckpoint(eager=False)
+    )
+    u_is_apex = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
 
     def _support(cur: DataFrame) -> DataFrame:
-        oriented = orient_edges_by_degree(cur)
-        # wedges only at the degree-order-minimum vertex; legs id-ordered
+        oriented = cur.select(
+            F.when(u_is_apex, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_is_apex, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        # wedges only at the orientation-minimum vertex; legs id-ordered
         # (b < c) so the closing edge is looked up in the ID-canonical set
         wedges = (
             oriented.alias("x")
@@ -688,14 +797,18 @@ def k_truss(
             .agg(F.count(F.lit(1)).alias("support"))
         )
         return cur.join(sup, ["u", "v"], "left").select(
-            "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+            "u",
+            "v",
+            "_du",
+            "_dv",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
         )
 
     for _ in range(rounds):
         e = (
             _support(e)
             .filter(F.col("support") >= k - 2)
-            .select("u", "v")
+            .select("u", "v", "_du", "_dv")
             .localCheckpoint(eager=False)
         )
     return _support(e).select(

@@ -219,6 +219,12 @@ def dedup_table(
     class_dict = None
     pair_payload = scoring_struct_cols(matcher)
     if dict_encode is None or dict_encode:
+        # the encoding probe/distinct/collect are three eager jobs and the
+        # final plan is a fourth consumer — materialize the normalize/parse
+        # UDF chain ONCE (lazy local checkpoint: first job writes the
+        # blocks, the rest read them) instead of re-running it per job.
+        # Same executor-local-storage tradeoff as _multi_pass_pairs.
+        work = work.localCheckpoint(eager=False)
         enc = _build_class_encoding(
             [work], matcher, dict_max_classes, required=bool(dict_encode)
         )

@@ -421,6 +421,29 @@ def test_k_truss_cascading_peel(spark):
     assert out[(2, 3)] == 2  # shared diamond edge supports two triangles
 
 
+def test_k_truss_driver_distributed_parity(spark):
+    """The packed-bitset driver fast path and the wedge-join distributed
+    shape must agree edge-for-edge (survivors AND support counts) on a
+    graph that exercises bridges, cascades, shared edges, and a hub."""
+    import random
+
+    from name_matching_spark.operators.clustering import k_truss
+
+    rng = random.Random(7)
+    edges = {(i, i + 40) for i in range(40)}                 # ring of bridges
+    edges |= {(rng.randrange(60), rng.randrange(60, 120)) for _ in range(300)}
+    edges |= {(200, i) for i in range(201, 231)}             # hub star
+    edges |= {(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)}        # diamond
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], ["id1", "id2"]
+    )
+    fast = {(r["id1"], r["id2"]): r["support"]
+            for r in k_truss(df, driver_fast_path=True).collect()}
+    dist = {(r["id1"], r["id2"]): r["support"]
+            for r in k_truss(df, driver_fast_path=False).collect()}
+    assert fast == dist and fast  # identical, and non-degenerate
+
+
 def test_cluster_depths_chain_and_clique(spark):
     from name_matching_spark.operators.clustering import cluster_depths
 
