@@ -47,6 +47,48 @@ def test_f1_gate_on_synthetic_corpus(spark):
     assert m["f1"] >= 0.99, m
 
 
+def test_f1_gate_on_source_repo_table(spark):
+    """The north-rule gate VERBATIM: pairwise F1 >= 0.99 on labeled pairs
+    at shared blocking keys over the source-repo table shape
+    (BASELINE.json input_hint: repo/path/commit/lang/content), via the
+    SURVEY §7.0 field derivation."""
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.datagen import source_files
+
+    pdf = source_files(n_repos=150, files_per_repo=1, dup_rate=0.5, seed=11)
+    df = spark.createDataFrame(pdf)
+    person = df.select(
+        F.concat_ws("|", "repo", "path").alias("record_id"),
+        F.split_part(F.col("repo"), F.lit("/"), F.lit(1)).alias("first_name"),
+        F.concat_ws(
+            " ",
+            F.regexp_extract(F.col("path"), r"([A-Za-z]+)_\d", 1),
+            F.regexp_replace(
+                F.split_part(F.col("repo"), F.lit("/"), F.lit(2)), "-", " "
+            ),
+        ).alias("middle_name_last_name"),
+        F.col("lang").alias("province_name"),
+        F.col("entity_id"),
+    )
+    schema = LinkageSchema(
+        id_col="record_id", birthdate=None, geo_fields=["province_name"]
+    )
+    cfg = MatcherConfig(
+        use_birthdate=False,
+        geo_fields=["province_name"],
+        additional_weights={"geography": 0.3},
+    )
+    scored = dedup_table(
+        person.drop("entity_id"), schema, matcher=cfg, keep_non_match=True
+    )
+    labeled = spark.createDataFrame(
+        labeled_pairs(person.select("record_id", "entity_id").toPandas())
+    )
+    m = pairwise_metrics(scored, labeled)
+    assert m["f1"] >= 0.99, m
+
+
 def test_checkpoint_resume(spark, tmp_path):
     recs = person_records(n_entities=50, dup_rate=0.5, seed=31)
     df = spark.createDataFrame(recs.drop(columns=["entity_id"]))
