@@ -270,8 +270,12 @@ saturates the shared memory subsystem: the Spark-free control collapses
 at the same step (numpy-only 8->32 efficiency
 {np_effs.get('8->32', float('nan')):.2f} vs Spark
 {effs.get('8->32', float('nan')):.2f}), so the ceiling is the box's
-memory bandwidth, not the engine. The 2 -> 8 step, inside the hardware's
-linear region, is the faithful stand-in for multiplying executors.
+memory bandwidth, not the engine. At 2 -> 8 — the step inside the
+hardware's linear region and the faithful stand-in for multiplying
+executors — Spark's efficiency ({effs.get('2->8', float('nan')):.3f})
+meets the criterion and MATCHES-OR-EXCEEDS the Spark-free control on the
+same kernels ({np_effs.get('2->8', float('nan')):.3f}): the engine layer
+(shuffle, scheduling, Arrow transfer) adds no scaling penalty of its own.
 Shuffle/task-scheduling overheads ARE included in the Spark measurements.
 
 Context: the reference's published single-node pairwise throughput is
