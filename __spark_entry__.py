@@ -1926,9 +1926,9 @@ def q92_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         em_match_probability,
     )
 
-    lab = _fs_labeled_pairs(spark, sf_dir)
-    params = em_estimate(lab.drop("true_label"), _FS_FIELDS, n_iter=2)
-    out = em_match_probability(lab, params, _FS_FIELDS)
+    census = _fs_gamma_census(spark, sf_dir)
+    params = em_estimate(census, _FS_FIELDS, n_iter=2, weight_col="_w")
+    out = em_match_probability(census, params, _FS_FIELDS)
     bucket = F.least(
         F.expr(f"CAST(match_q30 * 10 DIV {1 << 30} AS BIGINT)"), F.lit(9)
     )
@@ -1936,11 +1936,12 @@ def q92_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select(
             bucket.alias("bucket"),
             (F.col("true_label") == "match").alias("is_match"),
+            "_w",
         )
         .groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_match"),
+            F.sum("_w").alias("n_pairs"),
+            F.sum(F.when(F.col("is_match"), F.col("_w")).otherwise(0)).alias("n_match"),
         )
         .select(
             "bucket",
@@ -2115,11 +2116,11 @@ def q84_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         em_match_probability,
     )
 
-    lab = _fs_labeled_pairs(spark, sf_dir)
-    params = em_estimate(lab.drop("true_label"), _FS_FIELDS, n_iter=2)
-    out = em_match_probability(lab, params, _FS_FIELDS)
+    census = _fs_gamma_census(spark, sf_dir)
+    params = em_estimate(census, _FS_FIELDS, n_iter=2, weight_col="_w")
+    out = em_match_probability(census, params, _FS_FIELDS)
     scored = out.withColumn("is_match", F.col("true_label") == "match")
-    return roc_auc(scored, "match_q30", "is_match")
+    return roc_auc(scored, "match_q30", "is_match", weight_col="_w")
 
 
 def q59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2183,6 +2184,24 @@ def _fs_labeled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FS_FIELDS = ["agree_first", "agree_last", "agree_birth_year"]
+
+
+def _fs_gamma_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE scan of the blocked pair stream -> the (agreement-pattern,
+    true_label) census (<= 2^|fields| x 2 rows, pair counts in ``_w``).
+    The EM responsibility, the posterior, the calibration bucket, and the
+    AUC rank key all depend ONLY on the gamma pattern, so q78/q84/q92 run
+    every downstream job (EM iterations, predict, rank window) against
+    this tiny frame with weighted — bit-identical — integer sums instead
+    of rescanning the multi-million-row pair join per stage. At 8.6e9+
+    pairs this is the difference between n_iter scans of the pair stream
+    and ONE."""
+    lab = _fs_labeled_pairs(spark, sf_dir)
+    return (
+        lab.groupBy(*_FS_FIELDS, "true_label")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .localCheckpoint(eager=False)
+    )
 
 
 def q60_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2593,8 +2612,8 @@ def q78_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters."""
     from name_matching_spark.operators.probabilistic import em_estimate
 
-    lab = _fs_labeled_pairs(spark, sf_dir).drop("true_label")
-    return em_estimate(lab, _FS_FIELDS, n_iter=2)
+    census = _fs_gamma_census(spark, sf_dir)
+    return em_estimate(census, _FS_FIELDS, n_iter=2, weight_col="_w")
 
 
 def q79_em_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2608,7 +2627,15 @@ def q79_em_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lab = _fs_labeled_pairs(spark, sf_dir).drop("true_label")
-    params = em_estimate(lab, _FS_FIELDS, n_iter=2)
+    # fit on the gamma census (one pair-stream scan, <= 8 rows per EM
+    # iteration afterwards — bit-identical weighted sums); predict stays
+    # on the pair stream since the output is per-pair
+    census = (
+        lab.groupBy(*_FS_FIELDS)
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .localCheckpoint(eager=False)
+    )
+    params = em_estimate(census, _FS_FIELDS, n_iter=2, weight_col="_w")
     out = em_match_probability(lab, params, _FS_FIELDS)
     return out.select(
         "id1",
@@ -2630,7 +2657,12 @@ def q80_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lab = _fs_labeled_pairs(spark, sf_dir).drop("true_label")
-    params = em_estimate(lab, _FS_FIELDS, n_iter=2)
+    census = (
+        lab.groupBy(*_FS_FIELDS)
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .localCheckpoint(eager=False)
+    )
+    params = em_estimate(census, _FS_FIELDS, n_iter=2, weight_col="_w")
     out = em_match_probability(lab, params, _FS_FIELDS)
     half = 1 << 29
     return (

@@ -239,6 +239,7 @@ def roc_auc(
     pairs: DataFrame,
     score_col: str,
     label_col: str = "is_match",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Threshold-free ROC AUC via the Mann-Whitney U statistic with
     average-rank tie handling, exact integers end to end.
@@ -259,12 +260,16 @@ def roc_auc(
     """
     from pyspark.sql import Window
 
+    # ``weight_col``: the input is already a census (one row per distinct
+    # (score, label) with its pair count) — sum weights instead of rows.
+    # Integer-exact either way, so the output is bit-identical.
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
     census = (
-        pairs.select(F.col(label_col).alias("pos_flag"), score_col)
+        pairs.select(F.col(label_col).alias("pos_flag"), score_col, w.alias("_w"))
         .groupBy(score_col)
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.when(F.col("pos_flag"), 1).otherwise(0)).alias("pos"),
+            F.sum("_w").alias("cnt"),
+            F.sum(F.when(F.col("pos_flag"), F.col("_w")).otherwise(0)).alias("pos"),
         )
     )
     w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)

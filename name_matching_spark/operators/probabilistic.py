@@ -244,6 +244,7 @@ def em_estimate(
     init_m: float = 0.9,
     init_u: float = 0.1,
     init_lambda: float = 0.1,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """UNSUPERVISED Fellegi-Sunter parameter estimation via
     expectation-maximization (the Splink/fastLink core): no labels — the
@@ -267,6 +268,16 @@ def em_estimate(
     standard Splink practice) and apply the parameters to the full pair
     frame with :func:`em_match_probability` (literal inlining — no join).
 
+    ``weight_col``: fit from a GAMMA-PATTERN CENSUS instead of the pair
+    stream — ``pairs`` then has one row per distinct agreement pattern
+    with its pair count in ``weight_col``. Because the E-step
+    responsibility (and its 2^-30 quantization) depends ONLY on the
+    pattern, every M-step sum over rows equals the census-weighted sum
+    exactly — bit-identical parameters — while each EM iteration scans
+    <= 2^|fields| rows instead of the (possibly billions-row) pair frame.
+    Build the census once (one groupBy of the pair stream) and fit any
+    number of iterations against it.
+
     Output: one row per field — ``field, m, u, lam, n_pairs`` (+
     ``agree_weight``/``disagree_weight`` log2 likelihood ratios, directly
     usable by :func:`fs_score_pairs`).
@@ -288,14 +299,15 @@ def em_estimate(
         e = pairs.withColumn(
             "_pq", F.floor(p * F.lit(float(S))).cast("bigint")
         )
+        w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
         aggs = [
-            F.count(F.lit(1)).alias("n"),
-            F.sum("_pq").alias("s"),
+            F.sum(w).alias("n"),
+            F.sum(w * F.col("_pq")).alias("s"),
         ]
         for f in cols:
             a = F.col(f).cast("bigint")
-            aggs.append(F.sum(F.col("_pq") * a).alias(f"_sm_{f}"))
-            aggs.append(F.sum((F.lit(S) - F.col("_pq")) * a).alias(f"_su_{f}"))
+            aggs.append(F.sum(w * F.col("_pq") * a).alias(f"_sm_{f}"))
+            aggs.append(F.sum(w * (F.lit(S) - F.col("_pq")) * a).alias(f"_su_{f}"))
         row = e.agg(*aggs).collect()[0]
         n_pairs, s = int(row["n"]), int(row["s"])
         tot_u = n_pairs * S - s

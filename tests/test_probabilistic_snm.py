@@ -431,6 +431,42 @@ def test_em_estimate_separates_mixture(spark):
     assert out["agree_a"]["agree_weight"] > 0 > out["agree_a"]["disagree_weight"]
 
 
+def test_em_census_weighted_parity(spark):
+    """Census-weighted EM fit (weight_col) is BIT-IDENTICAL to the
+    row-level fit: the E-step responsibility depends only on the gamma
+    pattern, so weighted M-step sums equal row sums exactly. Also pins
+    the weighted roc_auc path against its row-level form."""
+    import random
+
+    from name_matching_spark.operators.evaluation import roc_auc
+    from name_matching_spark.operators.probabilistic import em_estimate
+
+    rng = random.Random(13)
+    rows = []
+    for _ in range(400):
+        match = rng.random() < 0.3
+        rows.append((
+            rng.random() < (0.95 if match else 0.15),
+            rng.random() < (0.9 if match else 0.1),
+            match,
+        ))
+    df = spark.createDataFrame(rows, ["agree_a", "agree_b", "is_match"])
+    fields = ["agree_a", "agree_b"]
+    census = df.groupBy(*fields, "is_match").agg(F.count(F.lit(1)).alias("_w"))
+
+    by_row = em_estimate(df, fields, n_iter=3).collect()
+    by_census = em_estimate(census, fields, n_iter=3, weight_col="_w").collect()
+    assert [r.asDict() for r in by_row] == [r.asDict() for r in by_census]
+
+    # weighted AUC parity: score = integer gamma code
+    code = (F.col("agree_a").cast("long") * 2 + F.col("agree_b").cast("long"))
+    auc_rows = roc_auc(df.withColumn("g", code), "g", "is_match").collect()
+    auc_census = roc_auc(
+        census.withColumn("g", code), "g", "is_match", weight_col="_w"
+    ).collect()
+    assert [r.asDict() for r in auc_rows] == [r.asDict() for r in auc_census]
+
+
 # ---------------------------------------------------------------------------
 # SymSpell delete-1 neighborhood join
 # ---------------------------------------------------------------------------
